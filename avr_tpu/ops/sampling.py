@@ -1,0 +1,114 @@
+"""Depth samplers along rays (stratified / importance / depth-guided).
+
+Functional counterparts of the reference samplers
+(``/root/reference/renderers.py:4-66``) with explicit PRNG keys.  The exact
+numerical semantics are pinned (SURVEY.md §2, §7):
+
+  * :func:`sample_coarse` — per-bin uniform jitter over a linspace of bins
+    between per-ray near/far maps (reference ``renderers.py:12-14``).
+  * :func:`sample_fine` — *bucket-level* inverse-CDF importance sampling:
+    ``searchsorted(cdf, u, right) - 1`` selects a coarse bin, then a fresh
+    uniform re-jitters inside that bin rather than interpolating the CDF
+    (reference ``renderers.py:36-46``).  Weights are gradient-stopped.
+  * :func:`sample_depth` — the reference *as written* returns
+    ``randn * depth_std`` without adding the depth mean (reference
+    ``renderers.py:62-66``); callers then clamp to [near, far], piling the
+    samples at ``near``.  ``mode="intended"`` gives the NeRF-intended
+    ``depth + randn * std`` behaviour behind a flag (default stays
+    reference-exact for parity).
+
+All samplers are shape-static and jit/vmap/shard-friendly: inputs are
+``(SB, R)`` near/far maps and outputs are ``(SB, R, n)`` z-values, with the
+rays axis free to be sharded across the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["sample_coarse", "sample_fine", "sample_depth"]
+
+
+def sample_coarse(
+    key: jax.Array,
+    near: jnp.ndarray,  # (SB, R)
+    far: jnp.ndarray,  # (SB, R)
+    num_samples: int,
+    infinity: float = -1.0,
+) -> jnp.ndarray:
+    """Stratified z-values: ``n`` bins in [near, far], uniform jitter per bin.
+
+    Returns ``(SB, R, num_samples)``.  ``infinity != -1`` shifts bins left by
+    one and appends ``infinity`` (reference ``renderers.py:16-19``; unused by
+    the in-repo callers but kept for surface parity).
+    """
+    steps = jnp.arange(num_samples, dtype=jnp.float32) / num_samples
+    span = far - near  # (SB, R)
+    z_vals = near[..., None] + span[..., None] * steps  # (SB, R, n)
+    jitter = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+    z_vals = z_vals + jitter * span[..., None] / num_samples
+    if infinity != -1.0:
+        tail = jnp.full_like(z_vals[..., :1], infinity)
+        z_vals = jnp.concatenate([z_vals[..., 1:], tail], axis=-1)
+    return z_vals
+
+
+def sample_fine(
+    key: jax.Array,
+    near: jnp.ndarray,  # (SB, R)
+    far: jnp.ndarray,  # (SB, R)
+    num_samples: int,
+    weights: jnp.ndarray,  # (SB, R, n_coarse) or (SB, R, n_coarse, 1)
+) -> jnp.ndarray:
+    """Bucket-level inverse-CDF importance sampling over coarse weights.
+
+    Semantics pinned to reference ``renderers.py:27-54``: weights are
+    detached and floored by 1e-5, the CDF gets a 0 prepended, bins are
+    selected with ``searchsorted(..., right) - 1`` clamped at 0, and the
+    sample re-jitters *uniformly inside the selected coarse bin*.
+
+    Returns ``(SB, R, num_samples)``.
+    """
+    if weights.ndim == 4:
+        weights = weights[..., 0]
+    n_coarse = weights.shape[-1]
+    w = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (SB, R, n+1)
+
+    k_u, k_jitter = jax.random.split(key)
+    u_shape = weights.shape[:-1] + (num_samples,)
+    u = jax.random.uniform(k_u, u_shape, dtype=jnp.float32)
+    # searchsorted is along the last axis; vmap over the leading dims.
+    inds = jax.vmap(jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right")))(cdf, u)
+    inds = jnp.maximum(inds.astype(jnp.float32) - 1.0, 0.0)
+
+    z_steps = (inds + jax.random.uniform(k_jitter, u_shape, dtype=jnp.float32)) / n_coarse
+    return near[..., None] + (far - near)[..., None] * z_steps
+
+
+def sample_depth(
+    key: jax.Array,
+    depth: jnp.ndarray,  # (SB, R, 1)
+    num_samples: int,
+    depth_std: float,
+    mode: str = "reference",
+) -> jnp.ndarray:
+    """Depth-guided gaussian samples.
+
+    ``mode="reference"`` reproduces the reference behaviour-as-written
+    (``renderers.py:56-66``): ``N(0, depth_std)`` with the depth mean
+    dropped.  ``mode="intended"`` adds the mean (``depth + sigma * randn``),
+    the behaviour the surrounding NeRF machinery intends.
+
+    Returns ``(SB, R, num_samples)``.
+    """
+    SB, R, _ = depth.shape
+    noise = jax.random.normal(key, (SB, R, num_samples), dtype=jnp.float32) * depth_std
+    if mode == "reference":
+        return noise
+    if mode == "intended":
+        return depth + noise
+    raise ValueError(f"unknown sample_depth mode: {mode!r}")

@@ -1,0 +1,74 @@
+"""Golden tests for volume_integral vs an independent numpy oracle.
+
+Oracle follows the compositing math of reference renderers.py:69-119
+(1e10 delta tail, 1e-10 cumprod epsilon, shifted-z distance map with the
+`infinity` tail, white-background compositing).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from avr_tpu.ops.integrate import volume_integral
+
+
+def np_volume_integral(z, sigmas, rgbs, white_back=True, infinity=1.8):
+    d = np.concatenate([z[..., 1:] - z[..., :-1], np.full_like(z[..., :1], 1e10)], -1)
+    alpha = 1.0 - np.exp(-sigmas * d[..., None])
+    t = np.cumprod(1.0 - alpha + 1e-10, axis=-2)
+    t = np.concatenate([np.ones_like(alpha[..., :1, :]), t[..., :-1, :]], -2)
+    w = alpha * t
+    rgb = (w * rgbs).sum(-2)
+    zz = np.concatenate([z[..., 1:], np.full_like(z[..., :1], infinity)], -1)
+    dist = (w * zz[..., None]).sum(-2)
+    if white_back:
+        rgb = rgb + (1.0 - w.sum(-2))
+    return rgb, dist, w
+
+
+def _random_inputs(rng, SB=2, R=8, n=16):
+    z = np.sort(rng.uniform(0.8, 1.8, size=(SB, R, n)), axis=-1).astype(np.float32)
+    sig = rng.uniform(0.0, 30.0, size=(SB, R, n, 1)).astype(np.float32)
+    rgb = rng.uniform(0.0, 1.0, size=(SB, R, n, 3)).astype(np.float32)
+    return z, sig, rgb
+
+
+def test_matches_oracle(rng):
+    z, sig, rgb = _random_inputs(rng)
+    for wb in (True, False):
+        got = volume_integral(jnp.asarray(z), jnp.asarray(sig), jnp.asarray(rgb), white_back=wb)
+        want = np_volume_integral(z, sig, rgb, white_back=wb)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_space_is_white():
+    z = jnp.linspace(0.8, 1.8, 16)[None, None, :]
+    sig = jnp.zeros((1, 1, 16, 1))
+    rgb = jnp.zeros((1, 1, 16, 3))
+    out, _, w = volume_integral(z, sig, rgb, white_back=True)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w), 0.0, atol=1e-9)
+
+
+def test_opaque_first_sample_dominates():
+    z = jnp.linspace(0.8, 1.8, 16)[None, None, :]
+    sig = jnp.zeros((1, 1, 16, 1)).at[0, 0, 0, 0].set(1e4)
+    rgb = jnp.zeros((1, 1, 16, 3)).at[0, 0, 0].set(jnp.asarray([0.2, 0.4, 0.6]))
+    out, dist, w = volume_integral(z, sig, rgb, white_back=False)
+    np.testing.assert_allclose(np.asarray(out)[0, 0], [0.2, 0.4, 0.6], atol=1e-4)
+    # distance uses *shifted* z (the next z value), per reference semantics
+    np.testing.assert_allclose(np.asarray(dist)[0, 0, 0], float(z[0, 0, 1]), atol=1e-4)
+
+
+def test_weights_sum_below_one_and_grads_finite(rng):
+    z, sig, rgb = _random_inputs(rng)
+
+    def loss(s):
+        out, _, _ = volume_integral(jnp.asarray(z), s, jnp.asarray(rgb))
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(jnp.asarray(sig))
+    assert np.all(np.isfinite(np.asarray(g)))
+    _, _, w = volume_integral(jnp.asarray(z), jnp.asarray(sig), jnp.asarray(rgb))
+    assert np.all(np.asarray(w).sum(-2) <= 1.0 + 1e-5)
