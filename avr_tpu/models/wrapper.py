@@ -1,0 +1,153 @@
+"""Top-level model: radiance field + renderer as one Flax module.
+
+Counterpart of the reference ``RadFieldAndRenderer``
+(``/root/reference/models.py:913-960``): a single parameter tree covering
+the PixelNeRF field and (for the marching renderers) the LSTM cell + step
+head, so checkpointing/restore covers the whole system exactly like the
+reference's combined ``state_dict``.
+
+Renderer selection is by config dataclass type (constructed via
+``renderer_config_from_conf`` which mirrors the reference's name-prefix
+dispatch, reference train.py:268-273).  The ``render`` method is pure:
+``(variables, cond, rays, rng) -> RenderOutput`` and jits/differentiates
+end-to-end, with conditioning produced once per batch by ``encode``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from avr_tpu.models.pixelnerf import Conditioning, ModelConfig, PixelNeRFNet
+from avr_tpu.renderers.adaptive import render_adaptive
+from avr_tpu.renderers.base import (
+    AdaptiveRendererConfig,
+    RaymarcherConfig,
+    RendererConfig,
+    RenderOutput,
+    VolumeRendererConfig,
+)
+from avr_tpu.renderers.lstm import MarchLSTMCell
+from avr_tpu.renderers.raymarch import render_raymarcher
+from avr_tpu.renderers.volume import render_volume
+
+__all__ = ["RadFieldRenderer"]
+
+
+class RadFieldRenderer(nn.Module):
+    model_cfg: ModelConfig
+    renderer_cfg: RendererConfig
+    dtype: Any = jnp.float32
+
+    @property
+    def has_marcher(self) -> bool:
+        return isinstance(self.renderer_cfg, (RaymarcherConfig, AdaptiveRendererConfig))
+
+    def setup(self):
+        self.net = PixelNeRFNet(cfg=self.model_cfg, dtype=self.dtype)
+        if self.has_marcher:
+            self.lstm = MarchLSTMCell(
+                hidden_size=self.renderer_cfg.hidden_size, dtype=self.dtype
+            )
+            self.out_layer = nn.Dense(1, dtype=self.dtype, name="out_layer")
+
+    # ------------------------------------------------------------------
+    def encode(
+        self,
+        images: jnp.ndarray,
+        poses: jnp.ndarray,
+        focal: jnp.ndarray,
+        c: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Conditioning:
+        return self.net.encode(images, poses, focal, c, train=train)
+
+    def render(
+        self,
+        cond: Conditioning,
+        xy_pix: jnp.ndarray,  # (SB, R, 2)
+        intrinsics: jnp.ndarray,  # (SB, 3, 3)
+        cam2world: jnp.ndarray,  # (SB, R, 4, 4)
+        key: jax.Array,
+        train: bool = False,
+    ) -> RenderOutput:
+        cfg = self.renderer_cfg
+
+        def field(xyz, viewdirs, coarse):
+            return self.net(cond, xyz, viewdirs=viewdirs, coarse=coarse, train=train)
+
+        if isinstance(cfg, VolumeRendererConfig):
+            return render_volume(cfg, key, field, xy_pix, intrinsics, cam2world)
+
+        def features(xyz, viewdirs):
+            return self.net(
+                cond, xyz, viewdirs=viewdirs, return_features=True, train=train
+            )
+
+        def cell(v, state):
+            return self.lstm(v, state)
+
+        def step_head(h):
+            return self.out_layer(h)
+
+        if isinstance(cfg, RaymarcherConfig):
+            return render_raymarcher(
+                cfg, key, field, features, cell, step_head,
+                xy_pix, intrinsics, cam2world,
+            )
+        if isinstance(cfg, AdaptiveRendererConfig):
+            return render_adaptive(
+                cfg, key, field, features, cell, step_head,
+                xy_pix, intrinsics, cam2world,
+            )
+        raise NotImplementedError(f"Unknown renderer config {type(cfg)}")
+
+    def __call__(
+        self, model_input: Dict[str, jnp.ndarray], cond: Conditioning,
+        key: jax.Array, train: bool = False,
+    ) -> RenderOutput:
+        """Dict-driven forward matching the reference wrapper's input contract."""
+        return self.render(
+            cond,
+            model_input["x_pix"],
+            model_input["intrinsics"],
+            model_input["cam2world"],
+            key,
+            train=train,
+        )
+
+    # ------------------------------------------------------------------
+    def init_all(
+        self,
+        images: jnp.ndarray,
+        poses: jnp.ndarray,
+        focal: jnp.ndarray,
+        c: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> RenderOutput:
+        """Touch every parameter: encode + a 1-ray render."""
+        cond = self.encode(images, poses, focal, c, train=train)
+        SB = images.shape[0]
+        # off-center pixel: keeps ray-direction x bounded away from 0 for the
+        # adaptive renderer's along-ray distance recovery during init
+        xy_pix = jnp.full((SB, 1, 2), 0.25, jnp.float32)
+        intrinsics = jnp.broadcast_to(
+            jnp.asarray(
+                [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]], jnp.float32
+            ),
+            (SB, 3, 3),
+        )
+        cam2world = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (SB, 1, 4, 4))
+        # Make sure the fine MLP exists in the tree even for marching
+        # renderers whose coarse path wouldn't otherwise touch it.
+        out = self.render(
+            cond, xy_pix, intrinsics, cam2world, jax.random.PRNGKey(0), train=train
+        )
+        if self.net.mlp_fine is not None and isinstance(
+            self.renderer_cfg, RaymarcherConfig
+        ):
+            self.net(cond, jnp.zeros((SB, 1, 3)), jnp.zeros((SB, 1, 3)), coarse=False)
+        return out

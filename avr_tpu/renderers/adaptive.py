@@ -1,0 +1,81 @@
+"""Adaptive volume renderer — the framework's headline algorithm.
+
+Functional counterpart of the reference ``AdaptiveVolumeRenderer``
+(``/root/reference/renderers.py:360-557``): an LSTM ray-march localizes the
+surface, then a *small* stratified volume integral (20 samples by default)
+is evaluated in an epsilon-band around the marched distance — ~3x fewer
+field evaluations per ray than the classic renderer at matched quality
+(SURVEY.md §6).
+
+Pipeline (all one jittable function):
+  march (lax.scan, 10 steps)
+    -> coarse output: single field query at the marched point
+    -> final_distance recovered along the ray from the x component
+       (reference renderers.py:490)
+    -> per-ray stratified band [d - eps, d + eps] -> sort -> fine field
+       query -> volume integral -> camera-z depth recompute.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from avr_tpu.ops.integrate import volume_integral
+from avr_tpu.ops.sampling import sample_coarse
+from avr_tpu.renderers.base import AdaptiveRendererConfig, RenderOutput
+from avr_tpu.renderers.raymarch import lstm_march
+from avr_tpu.utils.geometry import depth_from_world, get_world_rays
+from avr_tpu.renderers.volume import _query
+
+__all__ = ["render_adaptive"]
+
+
+def render_adaptive(
+    cfg: AdaptiveRendererConfig,
+    key: jax.Array,
+    field,  # field(xyz, viewdirs, coarse) -> (SB, N, 4)
+    features,  # features(xyz, viewdirs) -> (SB, NS, N, C)
+    cell,
+    step_head,
+    xy_pix: jnp.ndarray,  # (SB, R, 2)
+    intrinsics: jnp.ndarray,  # (SB, 3, 3)
+    cam2world: jnp.ndarray,  # (SB, R, 4, 4)
+) -> RenderOutput:
+    ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
+    k_march, k_band = jax.random.split(key)
+
+    coords = lstm_march(
+        k_march, features, cell, step_head, ros, rds,
+        steps=cfg.raymarch_steps, hidden_size=cfg.hidden_size,
+        grad_clamp=cfg.grad_clamp, init_mean=cfg.init_distance_mean,
+        init_std=cfg.init_distance_std,
+    )
+
+    # Coarse output: the field colour at the marched surface point.
+    out_coarse = field(coords, rds, True)
+    rgb_coarse = out_coarse[..., :3]
+    depth_coarse = depth_from_world(coords, cam2world)[..., None]
+
+    # Distance along the ray. The reference recovers it from the x component
+    # alone ((coords_x - ro_x) / rd_x, renderers.py:490), which NaNs for rays
+    # with rd_x == 0; since coords = ro + d * rd with unit-norm rd, the
+    # projection <coords - ro, rd> is the same d, robust for every ray.
+    final_distance = jnp.sum((coords - ros) * rds, axis=-1)  # (SB, R)
+
+    # Epsilon-band stratified sampling around the surface.
+    z_vals = sample_coarse(
+        k_band, final_distance - cfg.epsilon, final_distance + cfg.epsilon,
+        cfg.n_coarse,
+    )
+    z_sorted = jnp.sort(z_vals, axis=-1)
+
+    sigma, rad = _query(field, ros, rds, z_sorted, coarse=False)
+    rgb, distance, _ = volume_integral(
+        z_sorted, sigma, rad, white_back=cfg.white_back
+    )
+
+    world = ros + rds * distance
+    depth = depth_from_world(world, cam2world)[..., None]
+
+    return RenderOutput(rgb_coarse, rgb, depth_coarse, depth)

@@ -1,0 +1,89 @@
+"""Classic coarse/fine hierarchical volume renderer.
+
+Functional counterpart of the reference ``VolumeRenderer.forward``
+(``/root/reference/renderers.py:121-289``), expressed as one pure function
+over a field closure so the whole coarse->fine pipeline jits (and
+differentiates) end-to-end:
+
+  rays -> stratified coarse z -> field -> integral
+       -> [coarse z  ∪  bucket-CDF importance z  ∪  depth-guided z] sorted
+       -> field (fine) -> integral -> camera-z depth recompute
+
+The fine pass re-queries the union of all three sample sets (96 evals/ray
+at the default 64+16+16 budget), exactly like the reference.  The depth
+recompute via :func:`depth_from_world` is required because ray directions
+are unit-norm (reference renderers.py:273-275).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avr_tpu.ops.integrate import volume_integral
+from avr_tpu.ops.sampling import sample_coarse, sample_depth, sample_fine
+from avr_tpu.renderers.base import RenderOutput, VolumeRendererConfig
+from avr_tpu.utils.geometry import depth_from_world, get_world_rays
+
+__all__ = ["render_volume"]
+
+# field(xyz, viewdirs, coarse) -> (SB, N, 4) with rgb sigmoided / sigma relu'd
+FieldFn = Callable[[jnp.ndarray, jnp.ndarray, bool], jnp.ndarray]
+
+
+def _query(field: FieldFn, ros, rds, z_vals, coarse: bool):
+    """Evaluate the field at ``ro + rd * z`` for every sample.
+
+    Returns ``(sigma, rgb)`` shaped ``(SB, R, n, 1)`` / ``(SB, R, n, 3)``.
+    """
+    SB, R, n = z_vals.shape
+    pts = ros[..., None, :] + rds[..., None, :] * z_vals[..., None]  # (SB, R, n, 3)
+    vd = jnp.broadcast_to(rds[..., None, :], (SB, R, n, 3))
+    out = field(pts.reshape(SB, R * n, 3), vd.reshape(SB, R * n, 3), coarse)
+    out = out.reshape(SB, R, n, 4)
+    return out[..., 3:4], out[..., :3]
+
+
+def render_volume(
+    cfg: VolumeRendererConfig,
+    key: jax.Array,
+    field: FieldFn,
+    xy_pix: jnp.ndarray,  # (SB, R, 2)
+    intrinsics: jnp.ndarray,  # (SB, 3, 3)
+    cam2world: jnp.ndarray,  # (SB, R, 4, 4)
+) -> RenderOutput:
+    SB, R, _ = xy_pix.shape
+    ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
+
+    near = jnp.full((SB, R), cfg.near, jnp.float32)
+    far = jnp.full((SB, R), cfg.far, jnp.float32)
+    k_coarse, k_fine, k_depth = jax.random.split(key, 3)
+
+    # --- coarse pass -----------------------------------------------------
+    z_coarse = sample_coarse(k_coarse, near, far, cfg.n_coarse)
+    sigma, rad = _query(field, ros, rds, z_coarse, coarse=True)
+    rgb_coarse, dist_coarse, w_coarse = volume_integral(
+        z_coarse, sigma, rad, white_back=cfg.white_back, infinity=cfg.far
+    )
+
+    # --- fine pass: coarse ∪ importance ∪ depth-guided -------------------
+    z_fine = sample_fine(k_fine, near, far, cfg.n_fine - cfg.n_fine_depth, w_coarse)
+    z_depth = sample_depth(
+        k_depth, dist_coarse, cfg.n_fine_depth, cfg.depth_std,
+        mode=cfg.depth_sample_mode,
+    )
+    z_depth = jnp.clip(z_depth, cfg.near, cfg.far)
+
+    z_all = jnp.sort(jnp.concatenate([z_coarse, z_fine, z_depth], axis=-1), axis=-1)
+    sigma, rad = _query(field, ros, rds, z_all, coarse=False)
+    rgb_fine, dist_fine, _ = volume_integral(
+        z_all, sigma, rad, white_back=cfg.white_back, infinity=cfg.far
+    )
+
+    # unit-norm ray dirs -> recompute camera-z depth
+    world_fine = ros + rds * dist_fine
+    depth_fine = depth_from_world(world_fine, cam2world)[..., None]
+
+    return RenderOutput(rgb_coarse, rgb_fine, depth_fine, depth_fine)
