@@ -201,11 +201,13 @@ class PixelNeRFNet(nn.Module):
 
     @property
     def latent_size(self) -> int:
-        return SpatialEncoder(
-            backbone=self.cfg.encoder.backbone,
-            num_layers=self.cfg.encoder.num_layers,
-            use_custom_resnet=self.cfg.encoder.backbone == "custom",
-        ).latent_size
+        from avr_tpu.models.resnet import ResNetTrunk
+
+        if self.cfg.encoder.backbone == "custom":
+            return 128
+        return ResNetTrunk.latent_size(
+            self.cfg.encoder.backbone, self.cfg.encoder.num_layers
+        )
 
     @property
     def d_in(self) -> int:

@@ -75,6 +75,12 @@ class RadFieldRenderer(nn.Module):
         train: bool = False,
     ) -> RenderOutput:
         cfg = self.renderer_cfg
+        # Force lazy child setup() now: the marching renderers first touch
+        # self.net/self.lstm inside a lax.scan body, where Flax cannot
+        # assign submodules.
+        _ = self.net.mlp_coarse
+        if self.has_marcher:
+            _ = self.lstm, self.out_layer
 
         def field(xyz, viewdirs, coarse):
             return self.net(cond, xyz, viewdirs=viewdirs, coarse=coarse, train=train)
@@ -131,6 +137,14 @@ class RadFieldRenderer(nn.Module):
         """Touch every parameter: encode + a 1-ray render."""
         cond = self.encode(images, poses, focal, c, train=train)
         SB = images.shape[0]
+        if self.has_marcher:
+            # Create the marcher's parameters *outside* the lax.scan march
+            # loop: param creation inside a scan body would leak tracers at
+            # init time (the scan body must be pure once tracing starts).
+            v0 = jnp.zeros((SB, 1, self.net.latent_size), jnp.float32)
+            h0 = jnp.zeros((SB, 1, self.renderer_cfg.hidden_size), jnp.float32)
+            h1, _ = self.lstm(v0, (h0, h0))
+            self.out_layer(h1)
         # off-center pixel: keeps ray-direction x bounded away from 0 for the
         # adaptive renderer's along-ray distance recovery during init
         xy_pix = jnp.full((SB, 1, 2), 0.25, jnp.float32)
