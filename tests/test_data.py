@@ -1,0 +1,149 @@
+"""Data pipeline tests: HDF5 schema, conventions, ray consistency, sampling.
+
+The key test here is geometric: rays built from a loaded view's
+x_pix/intrinsics/cam2world must hit the synthetic sphere exactly where the
+image shows it — validating the whole chain of conventions (pose flip,
+normalized intrinsics, pixel grid, unproject) end to end.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from avr_tpu.data.dataset import SceneClassDataset, SceneInstanceDataset, collate_observations
+from avr_tpu.data.sampling import bbox_sample, gather_rays
+from avr_tpu.data.synthetic import write_synthetic_hdf5
+from avr_tpu.utils.geometry import get_world_rays
+
+
+@pytest.fixture(scope="module")
+def h5path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "synthetic.hdf5"
+    return write_synthetic_hdf5(str(path), num_instances=2, num_views=4, side=32)
+
+
+def test_instance_dataset_item_contract(h5path):
+    ds = SceneInstanceDataset(h5path, 0, "instance_0000", img_sidelength=32)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["cam2world"].shape == (4, 4)
+    assert item["intrinsics"].shape == (3, 3)
+    assert item["x_pix"].shape == (32 * 32, 2)
+    assert item["images"].shape == (32 * 32, 3)
+    assert item["bbox"].shape == (4,)
+    # normalized intrinsics
+    np.testing.assert_allclose(item["intrinsics"][0, 2], 0.5, atol=1e-6)
+    np.testing.assert_allclose(item["intrinsics"][0, 0], 1.09375, atol=1e-6)
+    # images in [-1, 1]
+    assert item["images"].min() >= -1.0 and item["images"].max() <= 1.0
+    # focal/c are in pixels
+    np.testing.assert_allclose(item["focal"], 1.09375 * 32, atol=1e-3)
+    np.testing.assert_allclose(item["c"], [16.0, 16.0], atol=1e-4)
+
+
+def test_bbox_covers_foreground(h5path):
+    ds = SceneInstanceDataset(h5path, 0, "instance_0000", img_sidelength=32)
+    item = ds[0]
+    img = (item["images"].reshape(32, 32, 3) * 0.5) + 0.5
+    mask = (img < 0.999).any(axis=-1)
+    rows = np.where(mask.any(axis=1))[0]
+    cols = np.where(mask.any(axis=0))[0]
+    cmin, rmin, cmax, rmax = item["bbox"]
+    assert rmin <= rows.min() and rmax >= rows.max() - 1
+    assert cmin <= cols.min() and cmax >= cols.max() - 1
+
+
+def test_rays_hit_sphere_where_image_shows_it(h5path):
+    """End-to-end convention check: dataset rays vs analytic sphere."""
+    ds = SceneInstanceDataset(h5path, 0, "instance_0000", img_sidelength=32)
+    item = ds[1]
+    sl = 32
+    xy = jnp.asarray(item["x_pix"][None])
+    K = jnp.asarray(item["intrinsics"][None])
+    c2w = jnp.asarray(np.broadcast_to(item["cam2world"], (1, sl * sl, 4, 4)).copy())
+    ro, rd = get_world_rays(xy, K, c2w)
+    ro, rd = np.asarray(ro)[0], np.asarray(rd)[0]
+
+    # analytic hit mask for a generously-bounded sphere radius range
+    b = 2 * np.sum(rd * ro, -1)
+    c = np.sum(ro * ro, -1) - 0.4**2  # max radius used by the generator
+    hit_possible = (b * b - 4 * c) > 0
+
+    img = (item["images"] * 0.5) + 0.5
+    shown = (img < 0.98).any(axis=-1)  # non-white pixels
+    # every shown pixel's ray must at least hit the bounding sphere
+    assert (hit_possible | ~shown).all()
+    # and the object must occupy a reasonable fraction of the image
+    assert shown.mean() > 0.05
+
+
+def test_scene_class_dataset_and_collate(h5path):
+    ds = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=3)
+    assert len(ds) == 2
+    batch = collate_observations([ds[0], ds[1]])
+    assert batch["images"].shape == (2, 3, 32 * 32, 3)
+    assert batch["cam2world"].shape == (2, 3, 4, 4)
+    batches = list(ds.batches(batch_size=2))
+    assert len(batches) == 1
+
+
+def test_scene_class_dataset_sharding(h5path):
+    s0 = SceneClassDataset(h5path, img_sidelength=32, shard_index=0, num_shards=2)
+    s1 = SceneClassDataset(h5path, img_sidelength=32, shard_index=1, num_shards=2)
+    assert s0.num_instances == 1 and s1.num_instances == 1
+    assert s0.instance_keys != s1.instance_keys
+
+
+def test_specific_observation_idcs(h5path):
+    ds = SceneClassDataset(
+        h5path, img_sidelength=32, samples_per_instance=2,
+        specific_observation_idcs=[0],
+    )
+    a = ds[0]
+    b = ds[0]
+    np.testing.assert_allclose(a[0]["cam2world"], b[0]["cam2world"])
+
+
+def test_bbox_sample_within_bounds():
+    rng = np.random.default_rng(0)
+    bboxes = np.asarray([[4, 2, 10, 8], [0, 0, 31, 31]], np.float32)
+    pix = bbox_sample(rng, bboxes, 256)
+    assert pix.shape == (256, 3)
+    for vid in (0, 1):
+        rows = pix[pix[:, 0] == vid]
+        if len(rows):
+            assert rows[:, 2].min() >= bboxes[vid][0]
+            assert rows[:, 2].max() <= bboxes[vid][2] + 1
+            assert rows[:, 1].min() >= bboxes[vid][1]
+            assert rows[:, 1].max() <= bboxes[vid][3] + 1
+
+
+def test_gather_rays_contract(h5path):
+    ds = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=2)
+    batch = collate_observations([ds[0], ds[1]])
+    rng = np.random.default_rng(0)
+    for with_bbox in (False, True):
+        mi, gt = gather_rays(rng, batch, 64, with_bbox=with_bbox)
+        assert mi["x_pix"].shape == (2, 64, 2)
+        assert mi["cam2world"].shape == (2, 64, 4, 4)
+        assert mi["intrinsics"].shape == (2, 3, 3)
+        assert gt.shape == (2, 64, 3)
+        assert gt.min() >= 0.0 and gt.max() <= 1.0
+
+
+def test_gather_rays_gt_matches_source_pixels(h5path):
+    """Gathered gt colours must equal the image pixels at the ray indices."""
+    ds = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=2)
+    batch = collate_observations([ds[0]])
+    rng = np.random.default_rng(1)
+    mi, gt = gather_rays(rng, batch, 32)
+    # recompute: find pixel via x_pix match in view identified by cam2world
+    x_pix_all = batch["x_pix"][0].reshape(2, 32 * 32, 2)
+    imgs = 0.5 * batch["images"][0].reshape(2, 32 * 32, 3) + 0.5
+    for r in range(8):
+        xy = mi["x_pix"][0, r]
+        c2w = mi["cam2world"][0, r]
+        # which view?
+        view = np.argmin(np.abs(batch["cam2world"][0] - c2w).sum(axis=(1, 2)))
+        pix_idx = np.argmin(np.abs(x_pix_all[view] - xy).sum(-1))
+        np.testing.assert_allclose(gt[0, r], imgs[view, pix_idx], atol=1e-6)
