@@ -1,1 +1,14 @@
 from avr_tpu.training.loss import loss_fn, LossParams  # noqa: F401
+from avr_tpu.training.state import TrainState, create_train_state  # noqa: F401
+from avr_tpu.training.step import (  # noqa: F401
+    make_train_step,
+    make_eval_step,
+    make_encode_fn,
+    make_render_fn,
+)
+from avr_tpu.training.loop import FitConfig, fit, render_full_image, validate  # noqa: F401
+from avr_tpu.training.checkpoint import (  # noqa: F401
+    save_checkpoint,
+    restore_checkpoint,
+    checkpoint_path,
+)

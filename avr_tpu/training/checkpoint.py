@@ -1,0 +1,76 @@
+"""Checkpoint save/restore (Orbax-backed, epoch-tagged).
+
+Counterpart of the reference's ``torch.save(state_dict)`` flow
+(``/root/reference/models.py:894-960``, ``train.py:168-171,277-278``) with
+the same epoch-tagged naming scheme
+(``{root}/checkpoints/experiments/{name}_epoch{e}``), upgraded the TPU way:
+
+  * the *whole* :class:`TrainState` is saved — params, BatchNorm stats and
+    optimizer state — so resume is exact (the reference restarts Adam on
+    resume; saving opt state is flag-gated off to mirror that if desired),
+  * storage is Orbax/TensorStore: sharded-array aware, multi-host safe.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from avr_tpu.training.state import TrainState
+
+__all__ = ["checkpoint_path", "save_checkpoint", "restore_checkpoint"]
+
+
+def checkpoint_path(root_dir: str, name: str, epoch: int) -> str:
+    return os.path.join(
+        os.path.abspath(root_dir), "checkpoints", "experiments", f"{name}_epoch{epoch}"
+    )
+
+
+def save_checkpoint(
+    root_dir: str, name: str, epoch: int, state: TrainState,
+    include_opt_state: bool = True,
+) -> str:
+    """Save a train state; returns the checkpoint directory path."""
+    path = checkpoint_path(root_dir, name, epoch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats or {},
+    }
+    if include_opt_state:
+        payload["opt_state"] = state.opt_state
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(
+    root_dir: str, name: str, epoch: int, state: TrainState, strict: bool = False
+) -> TrainState:
+    """Restore into an existing (template) state.
+
+    Missing pieces (e.g. a checkpoint saved without optimizer state) keep
+    the template's values, mirroring the reference's ``strict=False`` load.
+    """
+    path = checkpoint_path(root_dir, name, epoch)
+    if not os.path.exists(path):
+        if strict:
+            raise FileNotFoundError(path)
+        import warnings
+
+        warnings.warn(f"{path} does not exist, not loaded!! Model stays initialized.")
+        return state
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    replacements = {}
+    for key in ("step", "params", "batch_stats", "opt_state"):
+        if key in restored and restored[key] is not None:
+            replacements[key] = restored[key]
+    if "batch_stats" in replacements and not replacements["batch_stats"]:
+        replacements["batch_stats"] = state.batch_stats
+    return state.replace(**replacements)
