@@ -1,0 +1,170 @@
+"""Training CLI.
+
+Flag-compatible with the reference driver (``/root/reference/train.py:
+175-320``): the same experiment knobs with the same defaults (renderer
+selected by name prefix, epoch-tagged resume, bbox sampling, ...), plus the
+TPU-native additions (mesh shape, compute dtype, encoder norm type,
+multi-view conditioning).
+
+Example::
+
+    python -m avr_tpu.cli.train --root_dir ./runs --loss_mode both \
+        --renderer AVR_run1 --starting_epoch 0 --data ./data/cars_train.hdf5 \
+        --val_data ./data/cars_val.hdf5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference-compatible knobs (train.py:176-222)
+    p.add_argument("--root_dir", type=str, required=True, help="Run/checkpoint root")
+    p.add_argument("--loss_mode", type=str, required=True,
+                   choices=["coarse", "fine", "both"], help="Loss mode")
+    p.add_argument("--depth_regularization", action="store_true",
+                   help="Apply the depth-range hinge penalty")
+    p.add_argument("--renderer", type=str, required=True,
+                   help="Experiment name; prefix picks the renderer "
+                        "(Raymarcher*/VR*/else adaptive)")
+    p.add_argument("--starting_epoch", type=int, required=True,
+                   help="Epoch to resume from (0 = fresh)")
+    p.add_argument("--sl", type=int, default=128, help="Image sidelength")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max_num_instances", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--with_bbox", action="store_true")
+    p.add_argument("--samples_per_instance", type=int, default=50)
+    p.add_argument("--ray_batch_size", type=int, default=512)
+    p.add_argument("--raymarch_steps", type=int, default=10)
+    p.add_argument("--stop_encoder_grad", action="store_true")
+    p.add_argument("--anomaly_detection", action="store_true",
+                   help="Enable jax_debug_nans")
+    p.add_argument("--bn", action="store_true", help="BatchNorm in the decoder MLP")
+    p.add_argument("--no_visualization", action="store_true", default=True)
+    p.add_argument("--steps_print", type=int, default=5)
+    p.add_argument("--steps_val", type=int, default=50)
+    p.add_argument("--epochs_save", type=int, default=10)
+    # data paths (the reference hardcodes {root}/data/cars_*.hdf5)
+    p.add_argument("--data", type=str, default=None,
+                   help="Train HDF5 (default {root_dir}/data/cars_train.hdf5)")
+    p.add_argument("--val_data", type=str, default=None,
+                   help="Val HDF5 (default {root_dir}/data/cars_val.hdf5)")
+    p.add_argument("--conf", type=str, default=None,
+                   help="Config file (default conf/default_mv.conf)")
+    # TPU-native additions
+    p.add_argument("--mesh", type=str, default=None,
+                   help="Mesh shape 'data,rays' e.g. '2,4'; default single-program")
+    p.add_argument("--num_source_views", type=int, default=1)
+    p.add_argument("--norm_type", type=str, default="batch",
+                   choices=["batch", "group", "instance", "none"],
+                   help="Encoder norm (group recommended without pretrained weights)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import optax
+
+    if opt.anomaly_detection:
+        jax.config.update("jax_debug_nans", True)
+
+    from avr_tpu.config import parse_conf
+    from avr_tpu.data.dataset import SceneClassDataset
+    from avr_tpu.models.pixelnerf import ModelConfig
+    from avr_tpu.models.wrapper import RadFieldRenderer
+    from avr_tpu.renderers.base import renderer_config_from_conf
+    from avr_tpu.training import (
+        FitConfig, LossParams, create_train_state, fit, restore_checkpoint,
+    )
+    from avr_tpu.utils.logging import MetricsLogger
+    from avr_tpu.utils.viz import plot_losses
+
+    conf_path = opt.conf or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "conf", "default_mv.conf",
+    )
+    conf = parse_conf(conf_path)
+
+    model_cfg = ModelConfig.from_conf(
+        conf["model"], stop_encoder_grad=opt.stop_encoder_grad, bn=opt.bn
+    )
+    model_cfg = dataclasses.replace(
+        model_cfg,
+        encoder=dataclasses.replace(model_cfg.encoder, norm_type=opt.norm_type),
+    )
+    renderer_cfg = renderer_config_from_conf(conf, opt.renderer, opt.raymarch_steps)
+    model = RadFieldRenderer(model_cfg=model_cfg, renderer_cfg=renderer_cfg)
+
+    train_path = opt.data or os.path.join(opt.root_dir, "data", "cars_train.hdf5")
+    val_path = opt.val_data or os.path.join(opt.root_dir, "data", "cars_val.hdf5")
+    train_dset = SceneClassDataset(
+        train_path, img_sidelength=opt.sl, max_num_instances=opt.max_num_instances,
+        samples_per_instance=opt.samples_per_instance, seed=opt.seed,
+    )
+    val_dset = None
+    if os.path.exists(val_path):
+        val_dset = SceneClassDataset(
+            val_path, img_sidelength=opt.sl, max_num_instances=opt.max_num_instances,
+            specific_observation_idcs=[min(64, 0)], samples_per_instance=2,
+            seed=opt.seed,
+        )
+
+    # init params with a representative shape batch
+    import numpy as np
+    import jax.numpy as jnp
+
+    images0 = jnp.zeros((opt.batch_size, opt.num_source_views, opt.sl, opt.sl, 3))
+    poses0 = jnp.broadcast_to(
+        jnp.eye(4), (opt.batch_size, opt.num_source_views, 4, 4)
+    )
+    variables = model.init(
+        jax.random.PRNGKey(opt.seed), images0, poses0,
+        jnp.float32(1.09375 * opt.sl), jnp.asarray([opt.sl / 2.0, opt.sl / 2.0]),
+        method=model.init_all,
+    )
+    tx = optax.adam(opt.lr)
+    state = create_train_state(variables, tx)
+    if opt.starting_epoch > 0:
+        state = restore_checkpoint(
+            opt.root_dir, opt.renderer, opt.starting_epoch, state
+        )
+
+    logger = MetricsLogger(os.path.join(opt.root_dir, "logs"), name=opt.renderer)
+    fit_cfg = FitConfig(
+        epochs=opt.epochs, batch_size=opt.batch_size,
+        ray_batch_size=opt.ray_batch_size, with_bbox=opt.with_bbox,
+        steps_print=opt.steps_print, steps_val=opt.steps_val,
+        epochs_save=opt.epochs_save, starting_epoch=opt.starting_epoch,
+        num_source_views=opt.num_source_views, save_root=opt.root_dir,
+        run_name=opt.renderer, seed=opt.seed,
+    )
+    loss_params = LossParams(
+        loss_mode=opt.loss_mode, depth_regularization=opt.depth_regularization
+    )
+
+    state, mean_losses = fit(
+        model, state, tx, train_dset, val_dset, loss_params, fit_cfg, logger
+    )
+    os.makedirs(os.path.join(opt.root_dir, "logs"), exist_ok=True)
+    plot_losses(
+        mean_losses, opt.starting_epoch,
+        os.path.join(
+            opt.root_dir, "logs",
+            f"losses_{opt.renderer}_epoch{opt.starting_epoch}.png",
+        ),
+    )
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Offline evaluation + video/demo rendering.
+
+Counterparts of the reference ``test.py`` (``test_approximate``: PSNR /
+SSIM / LPIPS / loss means over a test split, source = view 0, one random
+target view per instance) and ``utils.generate_video`` (orbit-camera
+no-grad render with wall-clock timing).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from avr_tpu.data.dataset import SceneClassDataset
+from avr_tpu.training.loop import render_full_image, select_source_views
+from avr_tpu.training.loss import LossParams, loss_fn
+from avr_tpu.training.state import TrainState
+from avr_tpu.training.step import make_encode_fn, make_render_fn
+from avr_tpu.utils.geometry import orbit_cam2world
+from avr_tpu.utils.metrics import get_metrics
+
+__all__ = ["test_approximate", "generate_video"]
+
+
+def test_approximate(
+    model,
+    state: TrainState,
+    test_dset: SceneClassDataset,
+    loss_params: LossParams,
+    lpips_weights: Optional[str] = None,
+    render_chunk: int = 4096,
+    seed: int = 0,
+    max_instances: Optional[int] = None,
+) -> Dict[str, float]:
+    """Mean PSNR/SSIM/(LPIPS)/loss over the test split (reference test.py:4-75)."""
+    encode_fn = make_encode_fn(model)
+    render_fn = make_render_fn(model)
+    variables = state.variables()
+    rng = np.random.default_rng(seed)
+    fine = loss_params.loss_mode != "coarse"
+
+    lpips = None
+    if lpips_weights is not None:
+        from avr_tpu.utils.lpips import LPIPS
+
+        lpips = LPIPS(lpips_weights)
+
+    psnrs, ssims, lpipss, losses = [], [], [], []
+    count = 0
+    for batch in test_dset.batches(1, shuffle=True, drop_last=True):
+        images = batch["images"]
+        SB, NV, sl2, _ = images.shape
+        sl = int(np.sqrt(sl2))
+
+        src_images, src_poses, focal, c = select_source_views(
+            rng, batch, 1, fixed_idx=[0]
+        )
+        cond = encode_fn(variables, src_images, src_poses, focal, c)
+
+        nv = int(rng.integers(1, NV)) if NV > 1 else 0
+        intr = jnp.asarray(batch["intrinsics"][:, nv])
+        c2w = jnp.asarray(batch["cam2world"][:, nv])
+        out = render_full_image(
+            render_fn, variables, cond, intr, c2w, sl,
+            jax.random.PRNGKey(seed + count), render_chunk,
+        )
+        gt = 0.5 * images[:, nv] + 0.5
+        p, s = get_metrics(out, gt, fine=fine)
+        psnrs.append(p)
+        ssims.append(s)
+        losses.append(float(loss_fn(out, jnp.asarray(gt), loss_params)))
+        if lpips is not None:
+            pred = np.asarray(out[1] if fine else out[0]).reshape(1, sl, sl, 3)
+            gti = gt.reshape(1, sl, sl, 3)
+            lpipss.append(float(lpips(pred * 2 - 1, gti * 2 - 1)[0]))
+        count += 1
+        if max_instances is not None and count >= max_instances:
+            break
+
+    result = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "loss": float(np.mean(losses)),
+        "count": count,
+    }
+    if lpipss:
+        result["lpips"] = float(np.mean(lpipss))
+    print(
+        "Test: psnr = {psnr:.5f}, ssim = {ssim:.5f}, loss = {loss:.5f}".format(**result)
+        + (f", lpips = {result['lpips']:.5f}" if "lpips" in result else "")
+    )
+    return result
+
+
+def generate_video(
+    model,
+    state: TrainState,
+    batch: Dict[str, np.ndarray],
+    num_frames: int,
+    radius: float,
+    fine: bool = True,
+    render_chunk: int = 4096,
+    z_height: float = 0.4,
+):
+    """Orbit-camera render of ``num_frames`` full images (utils.py:481-537).
+
+    ``batch`` is one collated scene; view 0 conditions the field.  Returns a
+    list of uint8 (sl, sl, 3) frames and prints the wall-clock timing like
+    the reference.
+    """
+    encode_fn = make_encode_fn(model)
+    render_fn = make_render_fn(model)
+    variables = state.variables()
+
+    images = batch["images"]
+    SB, NV, sl2, _ = images.shape
+    sl = int(np.sqrt(sl2))
+
+    rng = np.random.default_rng(0)
+    src_images, src_poses, focal, c = select_source_views(rng, batch, 1, fixed_idx=[0])
+    cond = encode_fn(variables, src_images[:1], src_poses[:1], focal, c)
+
+    poses = orbit_cam2world(num_frames, radius, z_height)
+    intr = jnp.asarray(batch["intrinsics"][:1, 0])
+
+    start = time.time()
+    frames = []
+    for i in range(num_frames):
+        out = render_full_image(
+            render_fn, variables, cond, intr, poses[i][None], sl,
+            jax.random.PRNGKey(i), render_chunk,
+        )
+        rgb = out[1] if (fine and out[1] is not None) else out[0]
+        img = np.asarray(rgb)[0].reshape(sl, sl, 3)
+        frames.append(np.clip(img * 255.0, 0, 255).astype(np.uint8))
+    print(f"it takes {time.time() - start} seconds to render a video")
+    return frames

@@ -65,8 +65,22 @@ def restore_checkpoint(
 
         warnings.warn(f"{path} does not exist, not loaded!! Model stays initialized.")
         return state
+    # Restore against a template so container types (optax NamedTuples,
+    # custom pytree nodes) come back with their original structure instead
+    # of raw dicts.
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats or {},
+        "opt_state": state.opt_state,
+    }
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+        try:
+            restored = ckptr.restore(path, item=template)
+        except (ValueError, KeyError):
+            # checkpoint saved without optimizer state
+            template.pop("opt_state")
+            restored = ckptr.restore(path, item=template)
     replacements = {}
     for key in ("step", "params", "batch_stats", "opt_state"):
         if key in restored and restored[key] is not None:

@@ -1,0 +1,111 @@
+"""Benchmark: rays/sec/chip, forward+backward, flagship adaptive renderer.
+
+Runs the full fused training step (encode 128x128 source view -> adaptive
+LSTM-march render -> loss -> grads -> Adam update) on whatever accelerator
+JAX exposes and reports sustained rays/second — the north-star metric from
+BASELINE.md.  The reference publishes no numbers (BASELINE.json
+``published: {}``), so ``vs_baseline`` is the ratio against the previous
+recorded run of *this* benchmark when available (``BENCH_BASELINE.json``),
+else 1.0.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avr_tpu.config import parse_conf
+    from avr_tpu.models.pixelnerf import ModelConfig
+    from avr_tpu.models.wrapper import RadFieldRenderer
+    from avr_tpu.renderers.base import AdaptiveRendererConfig
+    from avr_tpu.training import LossParams, create_train_state, make_train_step
+
+    # Workload: reference default train shapes (train.py:188-219) with the
+    # ray batch scaled up to fill the chip (rays/s is per-ray normalized).
+    SB = int(os.environ.get("BENCH_SB", 4))
+    NS = 1
+    SIDE = int(os.environ.get("BENCH_SIDE", 128))
+    R = int(os.environ.get("BENCH_RAYS", 4096))
+    WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
+    ITERS = int(os.environ.get("BENCH_ITERS", 10))
+
+    conf = parse_conf(os.path.join(os.path.dirname(__file__), "conf", "default_mv.conf"))
+    model = RadFieldRenderer(
+        model_cfg=ModelConfig.from_conf(conf["model"]),
+        renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
+    )
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(SB, NS, SIDE, SIDE, 3)).astype(np.float32))
+    c2w = np.eye(4, dtype=np.float32) @ np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    c2w[2, 3] = 1.3
+    poses = jnp.asarray(np.broadcast_to(c2w, (SB, NS, 4, 4)).copy())
+    focal = jnp.float32(1.09375 * SIDE)
+    c = jnp.asarray([SIDE / 2.0, SIDE / 2.0], jnp.float32)
+    xy = jnp.asarray(rng.uniform(0.05, 0.95, size=(SB, R, 2)).astype(np.float32))
+    K = jnp.broadcast_to(
+        jnp.asarray([[1.09375, 0, 0.5], [0, 1.09375, 0.5], [0, 0, 1]], jnp.float32),
+        (SB, 3, 3),
+    )
+    rays_c2w = jnp.broadcast_to(jnp.asarray(c2w), (SB, R, 4, 4))
+    gt = jnp.asarray(rng.uniform(size=(SB, R, 3)).astype(np.float32))
+    model_input = {"x_pix": xy, "cam2world": rays_c2w, "intrinsics": K}
+
+    variables = model.init(
+        jax.random.PRNGKey(0), images, poses, focal, c, method=model.init_all
+    )
+    tx = optax.adam(1e-4)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, LossParams(loss_mode="both"))
+
+    key = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, images, poses, focal, c, model_input, gt, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, images, poses, focal, c, model_input, gt, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_s = SB * R * ITERS / dt
+
+    base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as f:
+                prev = json.load(f)
+            if prev.get("value"):
+                vs = rays_per_s / float(prev["value"])
+        except Exception:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "adaptive_render_train_rays_per_sec_per_chip",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""End-to-end CLI tests: train -> checkpoint -> eval -> video on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from avr_tpu.data.synthetic import write_synthetic_hdf5
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("run")
+    os.makedirs(root / "data", exist_ok=True)
+    write_synthetic_hdf5(
+        str(root / "data" / "cars_train.hdf5"), num_instances=2, num_views=4, side=32
+    )
+    write_synthetic_hdf5(
+        str(root / "data" / "cars_val.hdf5"), num_instances=1, num_views=4, side=32,
+        seed=7,
+    )
+    return str(root)
+
+
+# tiny conf to keep CI fast
+TINY_CONF = """
+model {
+    use_encoder = True
+    use_xyz = True
+    use_code = True
+    code { num_freqs = 4
+           freq_factor = 1.5
+           include_input = True }
+    use_viewdirs = True
+    use_code_viewdirs = False
+    mlp_coarse { type = resnet
+                 n_blocks = 2
+                 d_hidden = 32
+                 combine_layer = 1 }
+    mlp_fine { type = resnet
+               n_blocks = 2
+               d_hidden = 32
+               combine_layer = 1 }
+    encoder { backbone = resnet18
+              pretrained = False
+              num_layers = 2 }
+}
+normal_renderer {
+    near = 0.8
+    far = 1.8
+    n_coarse = 8
+    n_fine = 4
+    n_fine_depth = 2
+    depth_std = 0.01
+    white_back = True
+}
+raymarcher { num_feature_channels = 128
+             raymarch_steps = 3 }
+adaptive_renderer {
+    num_feature_channels = 128
+    raymarch_steps = 3
+    epsilon = 0.15
+    n_coarse = 6
+    white_back = True
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def conf_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("conf") / "tiny.conf"
+    p.write_text(TINY_CONF)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def trained(workdir, conf_path):
+    from avr_tpu.cli.train import main as train_main
+
+    state = train_main(
+        [
+            "--root_dir", workdir,
+            "--loss_mode", "both",
+            "--renderer", "AVR_citest",
+            "--starting_epoch", "0",
+            "--sl", "32",
+            "--batch_size", "2",
+            "--epochs", "2",
+            "--epochs_save", "1",
+            "--ray_batch_size", "64",
+            "--samples_per_instance", "3",
+            "--steps_print", "1",
+            "--steps_val", "1000000",
+            "--norm_type", "group",
+            "--conf", conf_path,
+            "--data", os.path.join(workdir, "data", "cars_train.hdf5"),
+            "--val_data", os.path.join(workdir, "data", "cars_val.hdf5"),
+        ]
+    )
+    return workdir, state
+
+
+def test_cli_train_writes_checkpoints_and_logs(trained):
+    workdir, state = trained
+    assert int(state.step) > 0
+    ckpt = os.path.join(workdir, "checkpoints", "experiments", "AVR_citest_epoch2")
+    assert os.path.isdir(ckpt)
+    log = os.path.join(workdir, "logs", "AVR_citest.jsonl")
+    assert os.path.exists(log)
+    events = [json.loads(l) for l in open(log)]
+    assert any(e["event"] == "train" for e in events)
+    assert any(e["event"] == "checkpoint" for e in events)
+    assert os.path.exists(
+        os.path.join(workdir, "logs", "losses_AVR_citest_epoch0.png")
+    )
+
+
+def test_cli_eval_runs(trained, conf_path):
+    workdir, _ = trained
+    from avr_tpu.cli.test import main as test_main
+
+    result = test_main(
+        [
+            "--root_dir", workdir,
+            "--renderer", "AVR_citest",
+            "--epoch", "2",
+            "--loss_mode", "both",
+            "--sl", "32",
+            "--norm_type", "group",
+            "--conf", conf_path,
+            "--data", os.path.join(workdir, "data", "cars_val.hdf5"),
+        ]
+    )
+    assert np.isfinite(result["psnr"]) and np.isfinite(result["loss"])
+    assert result["count"] >= 1
+
+
+def test_cli_video_renders_frames(trained, conf_path, tmp_path):
+    workdir, _ = trained
+    from avr_tpu.cli.video import main as video_main
+
+    frames = video_main(
+        [
+            "--root_dir", workdir,
+            "--renderer", "AVR_citest",
+            "--epoch", "2",
+            "--sl", "32",
+            "--norm_type", "group",
+            "--conf", conf_path,
+            "--data", os.path.join(workdir, "data", "cars_val.hdf5"),
+            "--num_frames", "2",
+            "--radius", "1.3",
+            "--out", str(tmp_path / "vid.mp4"),
+        ]
+    )
+    assert len(frames) == 2
+    assert frames[0].shape == (32, 32, 3) and frames[0].dtype == np.uint8
+
+
+def test_cli_resume_from_checkpoint(trained, conf_path):
+    workdir, _ = trained
+    from avr_tpu.cli.train import main as train_main
+
+    state = train_main(
+        [
+            "--root_dir", workdir,
+            "--loss_mode", "both",
+            "--renderer", "AVR_citest",
+            "--starting_epoch", "2",
+            "--sl", "32",
+            "--batch_size", "2",
+            "--epochs", "1",
+            "--epochs_save", "1000",
+            "--ray_batch_size", "64",
+            "--samples_per_instance", "2",
+            "--steps_print", "1",
+            "--steps_val", "1000000",
+            "--norm_type", "group",
+            "--conf", conf_path,
+            "--data", os.path.join(workdir, "data", "cars_train.hdf5"),
+        ]
+    )
+    assert int(state.step) > 0
