@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--norm_type", type=str, default="batch",
                    choices=["batch", "group", "instance", "none"],
                    help="Encoder norm (group recommended without pretrained weights)")
+    p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
+                   help="Compute dtype (params stay f32; integration/geometry f32)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -103,7 +105,10 @@ def main(argv=None):
         encoder=dataclasses.replace(model_cfg.encoder, norm_type=opt.norm_type),
     )
     renderer_cfg = renderer_config_from_conf(conf, opt.renderer, opt.raymarch_steps)
-    model = RadFieldRenderer(model_cfg=model_cfg, renderer_cfg=renderer_cfg)
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if opt.dtype == "bf16" else _jnp.float32
+    model = RadFieldRenderer(model_cfg=model_cfg, renderer_cfg=renderer_cfg, dtype=dtype)
 
     train_path = opt.data or os.path.join(opt.root_dir, "data", "cars_train.hdf5")
     val_path = opt.val_data or os.path.join(opt.root_dir, "data", "cars_val.hdf5")

@@ -356,6 +356,16 @@ class PixelNeRFNet(nn.Module):
         SB, B, _ = xyz.shape
         NS = cond.num_views
 
+        # Profiler scope names mirror the reference's record_function
+        # boundaries (models.py:71,255,455,548,749) for like-for-like traces.
+        with jax.named_scope("model_inference"):
+            return self._query(cond, xyz, viewdirs, coarse, return_features, train)
+
+    def _query(self, cond, xyz, viewdirs, coarse, return_features, train):
+        cfg = self.cfg
+        SB, B, _ = xyz.shape
+        NS = cond.num_views
+
         poses = cond.poses.reshape(SB, NS, 3, 4)
         R = poses[..., :3]  # (SB, NS, 3, 3)
         t = poses[..., 3]  # (SB, NS, 3)
@@ -372,7 +382,8 @@ class PixelNeRFNet(nn.Module):
             z_feature = -src[..., 2:3]
 
         if cfg.use_code and not cfg.use_code_viewdirs:
-            z_feature = self.code(z_feature)
+            with jax.named_scope("positional_enc"):
+                z_feature = self.code(z_feature)
 
         if cfg.use_viewdirs:
             assert viewdirs is not None
@@ -380,7 +391,8 @@ class PixelNeRFNet(nn.Module):
             z_feature = jnp.concatenate([z_feature, vd], axis=-1)
 
         if cfg.use_code and cfg.use_code_viewdirs:
-            z_feature = self.code(z_feature)
+            with jax.named_scope("positional_enc"):
+                z_feature = self.code(z_feature)
 
         latent = None
         if cfg.use_encoder:
@@ -395,11 +407,12 @@ class PixelNeRFNet(nn.Module):
             uv = uv * focal + cc
 
             # Pixel -> align-corners grid coords, then the bilinear gather.
-            scale = cond.latent_scaling / cond.image_shape
-            grid = uv * scale - 1.0
-            latent = grid_sample_2d(
-                cond.latent, grid.reshape(SB * NS, B, 2)
-            ).reshape(SB, NS, B, -1)
+            with jax.named_scope("encoder_index"):
+                scale = cond.latent_scaling / cond.image_shape
+                grid = uv * scale - 1.0
+                latent = grid_sample_2d(
+                    cond.latent, grid.reshape(SB * NS, B, 2)
+                ).reshape(SB, NS, B, -1)
 
             if cfg.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)
@@ -414,11 +427,14 @@ class PixelNeRFNet(nn.Module):
             z = g if z is None else jnp.concatenate([g, z], axis=-1)
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
-        out = mlp(z_feature, z, train=train)  # (SB, B, 4)
+        with jax.named_scope("resnetfc_infer"):
+            out = mlp(z_feature, z, train=train)  # (SB, B, 4)
 
         rgb = nn.sigmoid(out[..., :3])
         sigma = nn.relu(out[..., 3:4])
-        return jnp.concatenate([rgb, sigma], axis=-1)
+        # Outputs in fp32 regardless of compute dtype: the compositing
+        # integral accumulates in full precision.
+        return jnp.concatenate([rgb, sigma], axis=-1).astype(jnp.float32)
 
     # -- initialization helper ----------------------------------------------
 

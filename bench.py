@@ -40,10 +40,13 @@ def main():
     WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
     ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
+    DTYPE = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
     conf = parse_conf(os.path.join(os.path.dirname(__file__), "conf", "default_mv.conf"))
     model = RadFieldRenderer(
         model_cfg=ModelConfig.from_conf(conf["model"]),
         renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
+        dtype=DTYPE,
     )
 
     rng = np.random.default_rng(0)
@@ -73,13 +76,15 @@ def main():
     for i in range(WARMUP):
         key, sub = jax.random.split(key)
         state, metrics = step(state, images, poses, focal, c, model_input, gt, sub)
-    jax.block_until_ready(metrics["loss"])
+    # Force real completion with a value fetch: through the remote TPU relay
+    # in this environment, block_until_ready alone can return early.
+    float(np.asarray(metrics["loss"]))
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         key, sub = jax.random.split(key)
         state, metrics = step(state, images, poses, focal, c, model_input, gt, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     rays_per_s = SB * R * ITERS / dt
