@@ -94,7 +94,9 @@ class RadFieldRenderer(nn.Module):
             )
 
         def cell(v, state):
-            return self.lstm(v, state)
+            # keep the scan carry fp32 regardless of compute dtype
+            h, c_ = self.lstm(v, state)
+            return h.astype(jnp.float32), c_.astype(jnp.float32)
 
         def step_head(h):
             return self.out_layer(h)

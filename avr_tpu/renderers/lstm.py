@@ -68,15 +68,24 @@ class MarchLSTMCell(nn.Module):
         in_features = x.shape[-1]
 
         kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
-        # Stored transposed ((in, 4H)) so the forward is a plain matmul.
-        w_ih = self.param("w_ih", kaiming, (in_features, 4 * H), self.dtype)
+        # Params stored fp32 (and transposed, (in, 4H), so the forward is a
+        # plain matmul); compute runs in self.dtype.
+        w_ih = self.param("w_ih", kaiming, (in_features, 4 * H), jnp.float32)
         w_hh = self.param(
-            "w_hh", nn.initializers.orthogonal(column_axis=0), (H, 4 * H), self.dtype
+            "w_hh", nn.initializers.orthogonal(column_axis=0), (H, 4 * H), jnp.float32
         )
-        b_ih = self.param("b_ih", _forget_bias_init, (4 * H,), self.dtype)
-        b_hh = self.param("b_hh", _forget_bias_init, (4 * H,), self.dtype)
+        b_ih = self.param("b_ih", _forget_bias_init, (4 * H,), jnp.float32)
+        b_hh = self.param("b_hh", _forget_bias_init, (4 * H,), jnp.float32)
 
-        gates = x @ w_ih + b_ih + h @ w_hh + b_hh
+        x = x.astype(self.dtype)
+        h = h.astype(self.dtype)
+        c = c.astype(self.dtype)
+        gates = (
+            x @ w_ih.astype(self.dtype)
+            + b_ih.astype(self.dtype)
+            + h @ w_hh.astype(self.dtype)
+            + b_hh.astype(self.dtype)
+        )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
         h_new = nn.sigmoid(o) * jnp.tanh(c_new)
