@@ -163,7 +163,7 @@ class ConvEncoder(nn.Module):
 
     Downsampling stack with group-norm and reflect same-padding, a global
     4x4-stride-4 bottleneck broadcast back over space, and skip-connected
-    transposed-conv upsampling.  Output has 128 channels at half input
+    transposed-conv upsampling.  Output has 128 channels at full input
     resolution (matching the reference's ``dims = [128]``).
     """
 

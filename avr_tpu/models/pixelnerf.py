@@ -125,6 +125,9 @@ class ModelConfig:
     use_viewdirs: bool = True
     stop_encoder_grad: bool = False
     bn: bool = False
+    # "xla": take_along_axis gather; "pallas": VMEM-resident MXU one-hot
+    # kernel (TPU only); "auto": pallas on TPU backends, xla elsewhere.
+    gather_impl: str = "xla"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     code: CodeConfig = field(default_factory=CodeConfig)
     mlp_coarse: MLPConfig = field(default_factory=MLPConfig)
@@ -410,9 +413,23 @@ class PixelNeRFNet(nn.Module):
             with jax.named_scope("encoder_index"):
                 scale = cond.latent_scaling / cond.image_shape
                 grid = uv * scale - 1.0
-                latent = grid_sample_2d(
-                    cond.latent, grid.reshape(SB * NS, B, 2)
-                ).reshape(SB, NS, B, -1)
+                impl = cfg.gather_impl
+                if impl == "auto":
+                    impl = (
+                        "pallas"
+                        if jax.default_backend() not in ("cpu", "gpu")
+                        else "xla"
+                    )
+                if impl == "pallas":
+                    from avr_tpu.ops.pallas.gather import gather_bilinear
+
+                    latent = gather_bilinear(
+                        cond.latent, grid.reshape(SB * NS, B, 2)
+                    ).reshape(SB, NS, B, -1)
+                else:
+                    latent = grid_sample_2d(
+                        cond.latent, grid.reshape(SB * NS, B, 2)
+                    ).reshape(SB, NS, B, -1)
 
             if cfg.stop_encoder_grad:
                 latent = jax.lax.stop_gradient(latent)

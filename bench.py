@@ -19,6 +19,10 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: repeat bench runs skip the ~2-3 min compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 def main():
     import jax
@@ -43,8 +47,13 @@ def main():
     DTYPE = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     conf = parse_conf(os.path.join(os.path.dirname(__file__), "conf", "default_mv.conf"))
+    import dataclasses
+
+    model_cfg = ModelConfig.from_conf(conf["model"])
+    gather = os.environ.get("BENCH_GATHER", "xla")
+    model_cfg = dataclasses.replace(model_cfg, gather_impl=gather)
     model = RadFieldRenderer(
-        model_cfg=ModelConfig.from_conf(conf["model"]),
+        model_cfg=model_cfg,
         renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
         dtype=DTYPE,
     )

@@ -1,0 +1,73 @@
+"""Pallas bilinear-gather kernel: parity with the jnp/torch reference.
+
+Runs in interpreter mode on CPU (the kernel itself targets TPU); the jnp
+``grid_sample_2d`` is already pinned bit-exact against torch, so parity
+with it transfers torch parity to the kernel.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from avr_tpu.ops.grid_sample import grid_sample_2d
+from avr_tpu.ops.pallas.gather import gather_bilinear
+
+
+def _case(rng, B=2, H=8, W=8, C=16, N=40, scale=1.3):
+    feats = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    coords = rng.uniform(-scale, scale, size=(B, N, 2)).astype(np.float32)
+    return jnp.asarray(feats), jnp.asarray(coords)
+
+
+def test_forward_matches_reference(rng):
+    feats, coords = _case(rng)
+    got = np.asarray(gather_bilinear(feats, coords, True))
+    want = np.asarray(grid_sample_2d(feats, coords))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_nonaligned_point_count(rng):
+    feats, coords = _case(rng, N=7)  # far below one block -> padding path
+    got = np.asarray(gather_bilinear(feats, coords, True))
+    want = np.asarray(grid_sample_2d(feats, coords))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_vjp_features_matches_reference(rng):
+    feats, coords = _case(rng, B=1, N=24)
+    cot = jnp.asarray(rng.normal(size=(1, 24, feats.shape[-1])).astype(np.float32))
+
+    def loss_k(f):
+        return jnp.sum(gather_bilinear(f, coords, True) * cot)
+
+    def loss_r(f):
+        return jnp.sum(grid_sample_2d(f, coords) * cot)
+
+    gk = np.asarray(jax.grad(loss_k)(feats))
+    gr = np.asarray(jax.grad(loss_r)(feats))
+    np.testing.assert_allclose(gk, gr, rtol=1e-4, atol=1e-5)
+
+
+def test_vjp_coords_matches_reference(rng):
+    feats, coords = _case(rng, B=1, N=24, scale=0.9)  # interior points
+    cot = jnp.asarray(rng.normal(size=(1, 24, feats.shape[-1])).astype(np.float32))
+
+    def loss_k(c):
+        return jnp.sum(gather_bilinear(feats, c, True) * cot)
+
+    def loss_r(c):
+        return jnp.sum(grid_sample_2d(feats, c) * cot)
+
+    gk = np.asarray(jax.grad(loss_k)(coords))
+    gr = np.asarray(jax.grad(loss_r)(coords))
+    np.testing.assert_allclose(gk, gr, rtol=1e-3, atol=1e-4)
+
+
+def test_vjp_coords_zero_in_clamp_zone(rng):
+    feats, _ = _case(rng, B=1)
+    coords = jnp.asarray(np.array([[[1.5, 1.5], [-1.5, 0.0]]], np.float32))
+    g = jax.grad(
+        lambda c: jnp.sum(gather_bilinear(feats, c, True))
+    )(coords)
+    # fully clamped x and y -> zero coordinate gradient there
+    np.testing.assert_allclose(np.asarray(g)[0, 0], 0.0, atol=1e-6)
