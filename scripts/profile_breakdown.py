@@ -80,28 +80,28 @@ def main():
     # encode cost
     enc = make_encode_fn(model)
     t_enc = timeit(enc, variables, images, poses, focal, c)
-    print(f"encode 4x128x128:            {t_enc*1e3:8.1f} ms")
+    print(f"encode 4x128x128:            {t_enc*1e3:8.1f} ms", flush=True)
 
     cond = enc(variables, images, poses, focal, c)
     rend = make_render_fn(model)
     t_r10_20 = timeit(rend, variables, cond, xy, K, rc2w, key)
-    print(f"render fwd (10 march, 20 band): {t_r10_20*1e3:6.1f} ms")
+    print(f"render fwd (10 march, 20 band): {t_r10_20*1e3:6.1f} ms", flush=True)
 
     m2, _ = build(dataclasses.replace(base_rcfg, raymarch_steps=2))
     t_r2_20 = timeit(make_render_fn(m2), variables, cond, xy, K, rc2w, key)
-    print(f"render fwd (2 march, 20 band):  {t_r2_20*1e3:6.1f} ms  -> per march step {(t_r10_20-t_r2_20)/8*1e3:.1f} ms")
+    print(f"render fwd (2 march, 20 band):  {t_r2_20*1e3:6.1f} ms  -> per march step {(t_r10_20-t_r2_20)/8*1e3:.1f} ms", flush=True)
 
     m3, _ = build(dataclasses.replace(base_rcfg, n_coarse=5))
     t_r10_5 = timeit(make_render_fn(m3), variables, cond, xy, K, rc2w, key)
-    print(f"render fwd (10 march, 5 band):  {t_r10_5*1e3:6.1f} ms  -> per band sample {(t_r10_20-t_r10_5)/15*1e3:.2f} ms")
+    print(f"render fwd (10 march, 5 band):  {t_r10_5*1e3:6.1f} ms  -> per band sample {(t_r10_20-t_r10_5)/15*1e3:.2f} ms", flush=True)
 
     # full train step
     tx = optax.adam(1e-4)
     state = create_train_state(variables, tx)
     step = make_train_step(model, tx, LossParams(loss_mode="both"), donate=False)
     t_step = timeit(step, state, images, poses, focal, c, mi, gt, key)
-    print(f"train step (fwd+bwd+adam):   {t_step*1e3:8.1f} ms  -> bwd+update {(t_step - t_r10_20 - t_enc)*1e3:.1f} ms")
-    print(f"rays/s train: {SB*R/t_step:,.0f}")
+    print(f"train step (fwd+bwd+adam):   {t_step*1e3:8.1f} ms  -> bwd+update {(t_step - t_r10_20 - t_enc)*1e3:.1f} ms", flush=True)
+    print(f"rays/s train: {SB*R/t_step:,.0f}", flush=True)
 
 
 if __name__ == "__main__":
