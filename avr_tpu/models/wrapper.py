@@ -41,6 +41,10 @@ class RadFieldRenderer(nn.Module):
     model_cfg: ModelConfig
     renderer_cfg: RendererConfig
     dtype: Any = jnp.float32
+    # Rematerialize field queries in the backward pass: trades ~1/3 more
+    # FLOPs for O(n_samples) less activation memory, enabling much larger
+    # ray batches per chip (jax.checkpoint over the field closure).
+    remat_field: bool = False
 
     @property
     def has_marcher(self) -> bool:
@@ -82,8 +86,21 @@ class RadFieldRenderer(nn.Module):
         if self.has_marcher:
             _ = self.lstm, self.out_layer
 
-        def field(xyz, viewdirs, coarse):
-            return self.net(cond, xyz, viewdirs=viewdirs, coarse=coarse, train=train)
+        if self.remat_field:
+            f_coarse = jax.checkpoint(
+                lambda xyz, vd: self.net(cond, xyz, viewdirs=vd, coarse=True, train=train)
+            )
+            f_fine = jax.checkpoint(
+                lambda xyz, vd: self.net(cond, xyz, viewdirs=vd, coarse=False, train=train)
+            )
+
+            def field(xyz, viewdirs, coarse):
+                return f_coarse(xyz, viewdirs) if coarse else f_fine(xyz, viewdirs)
+
+        else:
+
+            def field(xyz, viewdirs, coarse):
+                return self.net(cond, xyz, viewdirs=viewdirs, coarse=coarse, train=train)
 
         if isinstance(cfg, VolumeRendererConfig):
             return render_volume(cfg, key, field, xy_pix, intrinsics, cam2world)

@@ -50,6 +50,7 @@ def render_adaptive(
         steps=cfg.raymarch_steps, hidden_size=cfg.hidden_size,
         grad_clamp=cfg.grad_clamp, init_mean=cfg.init_distance_mean,
         init_std=cfg.init_distance_std,
+        early_stop_eps=cfg.early_stop_eps,
     )
 
     # Coarse output: the field colour at the marched surface point.

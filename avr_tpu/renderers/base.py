@@ -74,6 +74,8 @@ class RaymarcherConfig:
     init_distance_mean: float = 0.8
     init_distance_std: float = 5e-2
     grad_clamp: float = 10.0
+    # per-ray early termination threshold on |predicted step|; 0 = off
+    early_stop_eps: float = 0.0
 
     @classmethod
     def from_conf(cls, conf, raymarch_steps: int = 10):
@@ -96,6 +98,8 @@ class AdaptiveRendererConfig:
     init_distance_mean: float = 0.8
     init_distance_std: float = 5e-2
     grad_clamp: float = 10.0
+    # per-ray early termination threshold on |predicted step|; 0 = off
+    early_stop_eps: float = 0.0
 
     @classmethod
     def from_conf(cls, conf, white_back: bool = False):

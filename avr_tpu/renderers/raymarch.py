@@ -50,8 +50,16 @@ def lstm_march(
     grad_clamp: float = 10.0,
     init_mean: float = 0.8,
     init_std: float = 5e-2,
+    early_stop_eps: float = 0.0,
 ) -> jnp.ndarray:
-    """Run the LSTM march; returns the final world coordinates ``(SB, R, 3)``."""
+    """Run the LSTM march; returns the final world coordinates ``(SB, R, 3)``.
+
+    ``early_stop_eps > 0`` enables per-ray early termination: once the
+    predicted |step| drops below the threshold the ray is frozen for the
+    remaining iterations (masked lanes — shapes stay static under SPMD;
+    the adaptive sample-budget semantics from BASELINE.json config 4).
+    ``0.0`` is the reference-exact always-march behaviour.
+    """
     from avr_tpu.renderers.lstm import clamp_grad
 
     SB, R, _ = ros.shape
@@ -61,18 +69,25 @@ def lstm_march(
     coords0 = ros + rds * init_distance
     h0 = jnp.zeros((SB, R, hidden_size), jnp.float32)
     c0 = jnp.zeros((SB, R, hidden_size), jnp.float32)
+    active0 = jnp.ones((SB, R, 1), jnp.float32)
 
     def body(carry, _):
-        coords, h, c = carry
+        coords, h, c, active = carry
         v = features(coords, rds)  # (SB, NS, R, C)
         v = jnp.mean(v, axis=1)  # exact for NS == 1
         h, c = cell(v, (h, c))
         h = clamp_grad(h, grad_clamp)
         signed_distance = step_head(h)  # (SB, R, 1)
+        if early_stop_eps > 0.0:
+            signed_distance = signed_distance * active
+            converged = jnp.abs(signed_distance) < early_stop_eps
+            active = active * (1.0 - converged.astype(jnp.float32))
         coords = coords + rds * signed_distance
-        return (coords, h, c), None
+        return (coords, h, c, active), None
 
-    (coords, _, _), _ = jax.lax.scan(body, (coords0, h0, c0), None, length=steps)
+    (coords, _, _, _), _ = jax.lax.scan(
+        body, (coords0, h0, c0, active0), None, length=steps
+    )
     return coords
 
 
@@ -93,6 +108,7 @@ def render_raymarcher(
         steps=cfg.raymarch_steps, hidden_size=cfg.hidden_size,
         grad_clamp=cfg.grad_clamp, init_mean=cfg.init_distance_mean,
         init_std=cfg.init_distance_std,
+        early_stop_eps=cfg.early_stop_eps,
     )
     out = field(coords, rds, True)
     rgb = out[..., :3]
