@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Encoder norm (group recommended without pretrained weights)")
     p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
                    help="Compute dtype (params stay f32; integration/geometry f32)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="Capture a jax.profiler trace of the first training "
+                        "steps into this directory (view with xprof/tensorboard)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -157,9 +160,27 @@ def main(argv=None):
         loss_mode=opt.loss_mode, depth_regularization=opt.depth_regularization
     )
 
-    state, mean_losses = fit(
-        model, state, tx, train_dset, val_dset, loss_params, fit_cfg, logger
-    )
+    if opt.profile_dir:
+        import contextlib
+
+        @contextlib.contextmanager
+        def _trace():
+            jax.profiler.start_trace(opt.profile_dir)
+            try:
+                yield
+            finally:
+                jax.profiler.stop_trace()
+
+        trace_cm = _trace()
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+
+    with trace_cm:
+        state, mean_losses = fit(
+            model, state, tx, train_dset, val_dset, loss_params, fit_cfg, logger
+        )
     os.makedirs(os.path.join(opt.root_dir, "logs"), exist_ok=True)
     plot_losses(
         mean_losses, opt.starting_epoch,

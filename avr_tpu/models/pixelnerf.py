@@ -265,7 +265,19 @@ class PixelNeRFNet(nn.Module):
                 include_input=cfg.code.include_input,
             )
 
-        def _make_mlp(mc: MLPConfig, name: str) -> ResnetFC:
+        def _make_mlp(mc: MLPConfig, name: str):
+            if mc.type == "mlp":
+                # working implementation of the reference's dead type=mlp
+                # path (reference models.py:18-21 references an undefined
+                # ImplicitNet); see avr_tpu/models/implicit.py
+                from avr_tpu.models.implicit import ImplicitNet
+
+                return ImplicitNet(
+                    d_in=self.d_in, d_out=4, n_layers=mc.n_blocks,
+                    d_hidden=mc.d_hidden, d_latent=self.d_latent,
+                    beta=mc.beta, combine_layer=mc.combine_layer,
+                    combine_type=mc.combine_type, dtype=self.dtype, name=name,
+                )
             if mc.type != "resnet":
                 raise NotImplementedError(f"Unsupported MLP type {mc.type!r}")
             return ResnetFC(
