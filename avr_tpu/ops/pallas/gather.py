@@ -55,31 +55,24 @@ def _kernel(coords_ref, feat_ref, out_ref):
     x1i = jnp.minimum(x0i + 1, W - 1)
     y1i = jnp.minimum(y0i + 1, H - 1)
 
+    # Bilinear interpolation is separable: fold the tap weights into the
+    # one-hot selectors, so the row gather is ONE (BLK, H) @ (H, W*C) MXU
+    # matmul and the column reduction is a single VPU multiply+sum.
     rows = jax.lax.broadcasted_iota(jnp.int32, (blk, H), 1)
-    sel0 = (rows == y0i[:, None]).astype(feat_ref.dtype)  # (BLK, H)
-    sel1 = (rows == y1i[:, None]).astype(feat_ref.dtype)
+    row_w = (rows == y0i[:, None]).astype(jnp.float32) * (1.0 - wy) + (
+        rows == y1i[:, None]
+    ).astype(jnp.float32) * wy  # (BLK, H); clamp case y0==y1 sums to 1
 
-    flat = feat_ref[...].reshape(H, W * C)
-    # MXU: row gather for both tap rows
-    r0 = jnp.dot(sel0, flat, preferred_element_type=jnp.float32).reshape(blk, W, C)
-    r1 = jnp.dot(sel1, flat, preferred_element_type=jnp.float32).reshape(blk, W, C)
+    flat = feat_ref[...].reshape(H, W * C).astype(jnp.float32)
+    r = jnp.dot(row_w, flat, preferred_element_type=jnp.float32)  # (BLK, W*C)
+    r = r.reshape(blk, W, C)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
-    c0 = (cols == x0i[:, None]).astype(jnp.float32)  # (BLK, W)
-    c1 = (cols == x1i[:, None]).astype(jnp.float32)
+    col_w = (cols == x0i[:, None]).astype(jnp.float32) * (1.0 - wx) + (
+        cols == x1i[:, None]
+    ).astype(jnp.float32) * wx  # (BLK, W)
 
-    # per-point column selection: einsum over the W axis (VPU/MXU friendly)
-    t00 = jnp.einsum("bw,bwc->bc", c0, r0, preferred_element_type=jnp.float32)
-    t01 = jnp.einsum("bw,bwc->bc", c1, r0, preferred_element_type=jnp.float32)
-    t10 = jnp.einsum("bw,bwc->bc", c0, r1, preferred_element_type=jnp.float32)
-    t11 = jnp.einsum("bw,bwc->bc", c1, r1, preferred_element_type=jnp.float32)
-
-    out = (
-        t00 * (1 - wy) * (1 - wx)
-        + t01 * (1 - wy) * wx
-        + t10 * wy * (1 - wx)
-        + t11 * wy * wx
-    )
+    out = jnp.sum(r * col_w[:, :, None], axis=1)  # (BLK, C)
     out_ref[...] = out.astype(out_ref.dtype)
 
 

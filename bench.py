@@ -56,6 +56,7 @@ def main():
         model_cfg=model_cfg,
         renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
         dtype=DTYPE,
+        remat_field=os.environ.get("BENCH_REMAT", "0") == "1",
     )
 
     rng = np.random.default_rng(0)
