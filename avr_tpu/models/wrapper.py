@@ -86,7 +86,8 @@ class RadFieldRenderer(nn.Module):
         if self.has_marcher:
             _ = self.lstm, self.out_layer
 
-        if self.remat_field:
+        # remat during init would create params inside the checkpoint trace
+        if self.remat_field and not self.is_initializing():
             f_coarse = jax.checkpoint(
                 lambda xyz, vd: self.net(cond, xyz, viewdirs=vd, coarse=True, train=train)
             )

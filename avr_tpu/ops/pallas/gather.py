@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_bilinear"]
 
-_BLK = 256  # query points per grid step
+_BLK = 128  # query points per grid step (bounds the selector's VMEM use)
 
 
 def _kernel(coords_ref, feat_ref, out_ref):
@@ -55,24 +55,27 @@ def _kernel(coords_ref, feat_ref, out_ref):
     x1i = jnp.minimum(x0i + 1, W - 1)
     y1i = jnp.minimum(y0i + 1, H - 1)
 
-    # Bilinear interpolation is separable: fold the tap weights into the
-    # one-hot selectors, so the row gather is ONE (BLK, H) @ (H, W*C) MXU
-    # matmul and the column reduction is a single VPU multiply+sum.
+    # Bilinear interpolation as ONE MXU contraction: fold the 4 tap weights
+    # into a (BLK, H*W) selector (outer product of the row/col weight
+    # one-hots — 4 nonzeros per row) and contract with the flattened map.
+    # No (BLK, W, C) intermediate ever materializes, keeping VMEM bounded.
     rows = jax.lax.broadcasted_iota(jnp.int32, (blk, H), 1)
     row_w = (rows == y0i[:, None]).astype(jnp.float32) * (1.0 - wy) + (
         rows == y1i[:, None]
     ).astype(jnp.float32) * wy  # (BLK, H); clamp case y0==y1 sums to 1
-
-    flat = feat_ref[...].reshape(H, W * C).astype(jnp.float32)
-    r = jnp.dot(row_w, flat, preferred_element_type=jnp.float32)  # (BLK, W*C)
-    r = r.reshape(blk, W, C)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
     col_w = (cols == x0i[:, None]).astype(jnp.float32) * (1.0 - wx) + (
         cols == x1i[:, None]
     ).astype(jnp.float32) * wx  # (BLK, W)
 
-    out = jnp.sum(r * col_w[:, :, None], axis=1)  # (BLK, C)
+    dtype = feat_ref.dtype
+    sel = (row_w[:, :, None] * col_w[:, None, :]).reshape(blk, H * W)
+    out = jnp.dot(
+        sel.astype(dtype),
+        feat_ref[...].reshape(H * W, C),
+        preferred_element_type=jnp.float32,
+    )
     out_ref[...] = out.astype(out_ref.dtype)
 
 
