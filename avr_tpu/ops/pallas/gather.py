@@ -38,9 +38,9 @@ __all__ = ["gather_bilinear"]
 _BLK = 128  # query points per grid step (bounds the selector's VMEM use)
 
 
-def _kernel(coords_ref, feat_ref, out_ref):
-    """One block of query points against the full (H, W, C) feature map."""
-    H, W, C = feat_ref.shape
+def _kernel(coords_ref, feat_ref, out_ref, *, H: int, W: int):
+    """One block of query points against the full (H*W, C) feature map."""
+    C = feat_ref.shape[-1]
     blk = coords_ref.shape[0]
 
     xy = coords_ref[...]  # (BLK, 2) in [-1, 1]
@@ -56,24 +56,24 @@ def _kernel(coords_ref, feat_ref, out_ref):
     y1i = jnp.minimum(y0i + 1, H - 1)
 
     # Bilinear interpolation as ONE MXU contraction: fold the 4 tap weights
-    # into a (BLK, H*W) selector (outer product of the row/col weight
-    # one-hots — 4 nonzeros per row) and contract with the flattened map.
-    # No (BLK, W, C) intermediate ever materializes, keeping VMEM bounded.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (blk, H), 1)
-    row_w = (rows == y0i[:, None]).astype(jnp.float32) * (1.0 - wy) + (
-        rows == y1i[:, None]
-    ).astype(jnp.float32) * wy  # (BLK, H); clamp case y0==y1 sums to 1
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
-    col_w = (cols == x0i[:, None]).astype(jnp.float32) * (1.0 - wx) + (
-        cols == x1i[:, None]
-    ).astype(jnp.float32) * wx  # (BLK, W)
-
-    dtype = feat_ref.dtype
-    sel = (row_w[:, :, None] * col_w[:, None, :]).reshape(blk, H * W)
+    # into a (BLK, H*W) selector (4 nonzeros per row, built with flat-index
+    # comparisons — no 3D reshapes, which Mosaic's layout inference
+    # rejects) and contract with the pre-flattened (H*W, C) map.
+    HW = feat_ref.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (blk, HW), 1)
+    w00 = (1.0 - wy) * (1.0 - wx)  # (BLK, 1)
+    w01 = (1.0 - wy) * wx
+    w10 = wy * (1.0 - wx)
+    w11 = wy * wx
+    sel = (
+        (pos == (y0i * W + x0i)[:, None]).astype(jnp.float32) * w00
+        + (pos == (y0i * W + x1i)[:, None]).astype(jnp.float32) * w01
+        + (pos == (y1i * W + x0i)[:, None]).astype(jnp.float32) * w10
+        + (pos == (y1i * W + x1i)[:, None]).astype(jnp.float32) * w11
+    )
     out = jnp.dot(
-        sel.astype(dtype),
-        feat_ref[...].reshape(H * W, C),
+        sel.astype(feat_ref.dtype),
+        feat_ref[...],
         preferred_element_type=jnp.float32,
     )
     out_ref[...] = out.astype(out_ref.dtype)
@@ -91,16 +91,16 @@ def _forward_one(feat: jnp.ndarray, coords: jnp.ndarray, interpret: bool) -> jnp
     coords_p = jnp.pad(coords, ((0, Np - N), (0, 0)))
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, H=H, W=W),
         grid=(Np // _BLK,),
         in_specs=[
             pl.BlockSpec((_BLK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H * W, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_BLK, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, C), feat.dtype),
         interpret=interpret,
-    )(coords_p, feat)
+    )(coords_p, feat.reshape(H * W, C))
     return out[:N]
 
 
