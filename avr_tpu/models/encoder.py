@@ -82,7 +82,9 @@ class SpatialEncoder(nn.Module):
             )(x, train=train)
             hw = feats[0].shape[1:3]
             feats = [resize_bilinear_align_corners(f, hw) for f in feats]
-            latent = jnp.concatenate(feats, axis=-1)
+            # the resize einsum accumulates in fp32; store the latent in the
+            # compute dtype (halves the HBM traffic of every field query)
+            latent = jnp.concatenate(feats, axis=-1).astype(self.dtype)
 
         Hl, Wl = latent.shape[1:3]
         latent_scaling = jnp.asarray(

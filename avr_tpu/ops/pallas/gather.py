@@ -100,6 +100,9 @@ def _forward_one(feat: jnp.ndarray, coords: jnp.ndarray, interpret: bool) -> jnp
         out_specs=pl.BlockSpec((_BLK, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, C), feat.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(coords_p, feat.reshape(H * W, C))
     return out[:N]
 
