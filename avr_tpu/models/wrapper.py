@@ -111,6 +111,11 @@ class RadFieldRenderer(nn.Module):
                 cond, xyz, viewdirs=viewdirs, return_features=True, train=train
             )
 
+        if self.remat_field and not self.is_initializing():
+            # the march's per-step gathered latents are the dominant scan
+            # residual; recompute them in the backward instead of storing
+            features = jax.checkpoint(features)
+
         def cell(v, state):
             # keep the scan carry fp32 regardless of compute dtype
             h, c_ = self.lstm(v, state)
