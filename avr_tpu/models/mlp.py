@@ -112,6 +112,10 @@ class ResnetFC(nn.Module):
       combine_layer: block index at which the NS axis is pooled.
       combine_type: 'average' | 'max'.
       use_spade: scale-and-shift latent injection instead of additive.
+      fused: 'never' | 'auto' | 'always' — use the fused Pallas decoder
+        kernel (``avr_tpu.ops.pallas.resnetfc``) when the configuration
+        allows it ('auto' enables it on TPU backends only; 'always' also
+        runs it on CPU via interpret mode, for tests).
     """
 
     d_in: int
@@ -124,7 +128,29 @@ class ResnetFC(nn.Module):
     combine_layer: int = 1000
     combine_type: str = "average"
     use_spade: bool = False
+    fused: str = "never"
     dtype: Any = jnp.float32
+
+    def _use_fused(self, x, z) -> bool:
+        from avr_tpu.ops.pallas.resnetfc import supports
+
+        if self.fused == "never" or self.is_initializing():
+            return False
+        if self.use_spade or z is None or x is None:
+            return False
+        if x.ndim != 4 or x.shape[1] != 1:  # NS == 1 only (no mid-pool)
+            return False
+        if not supports(
+            n_blocks=self.n_blocks,
+            n_lin_z=min(self.combine_layer, self.n_blocks),
+            d_hidden=self.d_hidden, d_latent=self.d_latent,
+            d_in=self.d_in, bn=self.bn, beta=self.beta,
+        ):
+            return False
+        import jax
+
+        on_accel = jax.default_backend() not in ("cpu", "gpu")
+        return self.fused == "always" or on_accel
 
     @nn.compact
     def __call__(
@@ -134,6 +160,23 @@ class ResnetFC(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         """Returns ``(SB, B, d_out)`` (NS pooled at the combine layer)."""
+        if self._use_fused(x, z):
+            import jax
+
+            from avr_tpu.ops.pallas.resnetfc import fused_resnetfc
+
+            SB, NS, B, _ = x.shape
+            out = fused_resnetfc(
+                x.reshape(SB * B, x.shape[-1]),
+                z.reshape(SB * B, z.shape[-1]),
+                self.variables["params"],
+                n_blocks=self.n_blocks,
+                n_lin_z=min(self.combine_layer, self.n_blocks),
+                compute_dtype=self.dtype,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return out.reshape(SB, B, self.d_out)
+
         act = _activation(self.beta)
 
         if self.d_in > 0:

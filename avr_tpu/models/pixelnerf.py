@@ -127,7 +127,12 @@ class ModelConfig:
     bn: bool = False
     # "xla": take_along_axis gather; "pallas": VMEM-resident MXU one-hot
     # kernel (TPU only); "auto": pallas on TPU backends, xla elsewhere.
-    gather_impl: str = "xla"
+    # Pallas wins +18% end-to-end on v5e (the scatter-free backward; PERF.md).
+    gather_impl: str = "auto"
+    # Fused Pallas decoder kernel (avr_tpu/ops/pallas/resnetfc.py):
+    # "never" | "auto" (TPU backends only) | "always" (tests: CPU interpret).
+    # Measured neutral vs XLA at benchmark shapes (PERF.md), so off by default.
+    fused_mlp: str = "never"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     code: CodeConfig = field(default_factory=CodeConfig)
     mlp_coarse: MLPConfig = field(default_factory=MLPConfig)
@@ -285,7 +290,7 @@ class PixelNeRFNet(nn.Module):
                 d_latent=self.d_latent, d_hidden=mc.d_hidden, bn=cfg.bn,
                 beta=mc.beta, combine_layer=mc.combine_layer,
                 combine_type=mc.combine_type, use_spade=mc.use_spade,
-                dtype=self.dtype, name=name,
+                fused=cfg.fused_mlp, dtype=self.dtype, name=name,
             )
 
         self.mlp_coarse = _make_mlp(cfg.mlp_coarse, "mlp_coarse")

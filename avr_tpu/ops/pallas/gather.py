@@ -1,23 +1,32 @@
-"""Pallas TPU kernel: fused bilinear feature gather.
+"""Pallas TPU kernels: fused bilinear feature gather (fwd + bwd).
 
 The pixel-aligned ``index`` gather (4 taps x C channels per query point)
-is the memory-system hot spot of every field query (SURVEY.md §3.5).  XLA
-lowers ``take_along_axis`` to a generic gather; this kernel instead keeps
-the *entire* feature map resident in VMEM (64x64x512 bf16 = 4 MB — fits
-comfortably) and turns the row-gather into an MXU matmul:
+is the memory-system hot spot of every field query (SURVEY.md §3.5), and
+its *backward* is the single most pathological op in the XLA-lowered train
+step: d/d-features is a 4-tap ``scatter-add`` which the TPU executes
+serially (~29 ms/step at the benchmark shapes, measured — see PERF.md).
 
-  1. build a one-hot (BLK, H) row-selector for the 4 taps' two rows and
-     contract it with the (H, W*C) feature map on the MXU,
-  2. per-point column selection + bilinear weighting on the VPU,
+Both directions are therefore expressed as MXU contractions against the
+VMEM-resident feature map (64x64x512 bf16 = 4 MB):
 
-so the random-access pattern never touches HBM — each grid step streams
-one block of query points through VMEM-resident features.
+  * forward: build a (BLK, H*W) selector holding the 4 bilinear tap
+    weights per point (flat-index comparisons — no 3D reshapes, which
+    Mosaic's layout inference rejects) and contract with the (H*W, C)
+    map: one matmul replaces the random-access gather.
+  * backward d-features: the transpose contraction ``selᵀ @ g`` — a
+    scatter-free (H*W, BLK) @ (BLK, C) matmul accumulated in an fp32 VMEM
+    buffer across the sequential point grid.
+  * backward d-coords: needs the per-tap dots ``<g, f_tap>``; computed
+    from ``P = g @ featᵀ`` (one more MXU pass) + masked reductions, then
+    the analytic bilinear weight derivative.
 
-A ``custom_vjp`` supplies the backward pass: d/d-features is the transpose
-one-hot matmul (a scatter-free MXU contraction), d/d-coords is the
-analytic bilinear derivative.  Forward/backward parity with the jnp
-reference implementation (and therefore with torch ``grid_sample``) is
-pinned in ``tests/test_pallas_gather.py`` via interpret mode.
+Batch is an explicit leading grid dimension (not ``vmap``) so the
+accumulator-init predicate can use the point-grid index directly.
+
+Forward/backward parity with the jnp reference implementation (and
+therefore with torch ``grid_sample(align_corners=True, padding='border')``,
+reference models.py:267) is pinned in ``tests/test_pallas_gather.py`` via
+interpret mode.
 
 Use :func:`gather_bilinear` as a drop-in for
 ``avr_tpu.ops.grid_sample.grid_sample_2d`` on TPU.
@@ -26,7 +35,6 @@ Use :func:`gather_bilinear` as a drop-in for
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,15 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_bilinear"]
 
-_BLK = 128  # query points per grid step (bounds the selector's VMEM use)
+_BLK = 512  # query points per grid step (bounds the selector's VMEM use)
 
 
-def _kernel(coords_ref, feat_ref, out_ref, *, H: int, W: int):
-    """One block of query points against the full (H*W, C) feature map."""
-    C = feat_ref.shape[-1]
-    blk = coords_ref.shape[0]
-
-    xy = coords_ref[...]  # (BLK, 2) in [-1, 1]
+def _taps(xy, H: int, W: int):
+    """Shared fwd/bwd tap math: flat indices + interpolation weights."""
     x = jnp.clip((xy[:, 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
     y = jnp.clip((xy[:, 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
     x0 = jnp.floor(x)
@@ -54,57 +58,95 @@ def _kernel(coords_ref, feat_ref, out_ref, *, H: int, W: int):
     y0i = y0.astype(jnp.int32)
     x1i = jnp.minimum(x0i + 1, W - 1)
     y1i = jnp.minimum(y0i + 1, H - 1)
-
-    # Bilinear interpolation as ONE MXU contraction: fold the 4 tap weights
-    # into a (BLK, H*W) selector (4 nonzeros per row, built with flat-index
-    # comparisons — no 3D reshapes, which Mosaic's layout inference
-    # rejects) and contract with the pre-flattened (H*W, C) map.
-    HW = feat_ref.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (blk, HW), 1)
-    w00 = (1.0 - wy) * (1.0 - wx)  # (BLK, 1)
-    w01 = (1.0 - wy) * wx
-    w10 = wy * (1.0 - wx)
-    w11 = wy * wx
-    sel = (
-        (pos == (y0i * W + x0i)[:, None]).astype(jnp.float32) * w00
-        + (pos == (y0i * W + x1i)[:, None]).astype(jnp.float32) * w01
-        + (pos == (y1i * W + x0i)[:, None]).astype(jnp.float32) * w10
-        + (pos == (y1i * W + x1i)[:, None]).astype(jnp.float32) * w11
+    idx = (
+        (y0i * W + x0i)[:, None], (y0i * W + x1i)[:, None],
+        (y1i * W + x0i)[:, None], (y1i * W + x1i)[:, None],
     )
+    w = ((1.0 - wy) * (1.0 - wx), (1.0 - wy) * wx, wy * (1.0 - wx), wy * wx)
+    return idx, w, wx, wy
+
+
+def _selector(coords_ref, HW: int, H: int, W: int):
+    blk = coords_ref.shape[0]
+    idx, w, _, _ = _taps(coords_ref[...], H, W)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (blk, HW), 1)
+    sel = (
+        (pos == idx[0]).astype(jnp.float32) * w[0]
+        + (pos == idx[1]).astype(jnp.float32) * w[1]
+        + (pos == idx[2]).astype(jnp.float32) * w[2]
+        + (pos == idx[3]).astype(jnp.float32) * w[3]
+    )
+    return sel
+
+
+def _fwd_kernel(coords_ref, feat_ref, out_ref, *, H: int, W: int):
+    """One block of query points against the full (H*W, C) feature map."""
+    HW = feat_ref.shape[0]
+    sel = _selector(coords_ref, HW, H, W)
     out = jnp.dot(
-        sel.astype(feat_ref.dtype),
-        feat_ref[...],
+        sel.astype(feat_ref.dtype), feat_ref[...],
         preferred_element_type=jnp.float32,
     )
     out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(coords_ref, feat_ref, g_ref, dfeat_ref, dcoords_ref,
+                *, H: int, W: int):
+    HW = feat_ref.shape[0]
+    blk = coords_ref.shape[0]
+    i = pl.program_id(1)
+
+    xy = coords_ref[...]
+    idx, w, wx, wy = _taps(xy, H, W)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (blk, HW), 1)
+    m = [(pos == ix) for ix in idx]
+    sel = (
+        m[0].astype(jnp.float32) * w[0] + m[1].astype(jnp.float32) * w[1]
+        + m[2].astype(jnp.float32) * w[2] + m[3].astype(jnp.float32) * w[3]
+    )
+    g = g_ref[...].astype(jnp.float32)
+
+    # d-features: transpose one-hot contraction, accumulated across blocks.
+    @pl.when(i == 0)
+    def _init():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    contrib = jax.lax.dot_general(
+        sel.astype(feat_ref.dtype), g.astype(feat_ref.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (HW, C)
+    dfeat_ref[...] += contrib
+
+    # d-coords: per-tap dots <g, f_tap> via P = g @ featᵀ + masked sums.
+    P = jax.lax.dot_general(
+        g.astype(feat_ref.dtype), feat_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLK, HW)
+    gf = [jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True) for mm in m]
+    d_wx = (gf[1] - gf[0]) * (1.0 - wy) + (gf[3] - gf[2]) * wy
+    d_wy = (gf[2] - gf[0]) * (1.0 - wx) + (gf[3] - gf[1]) * wx
+
+    # clamp zones have zero derivative w.r.t. the *unclamped* coordinate
+    x_un = (xy[:, 0:1] + 1.0) * 0.5 * (W - 1)
+    y_un = (xy[:, 1:2] + 1.0) * 0.5 * (H - 1)
+    live_x = ((x_un > 0) & (x_un < W - 1)).astype(jnp.float32)
+    live_y = ((y_un > 0) & (y_un < H - 1)).astype(jnp.float32)
+    d_x = d_wx * live_x * (0.5 * (W - 1))
+    d_y = d_wy * live_y * (0.5 * (H - 1))
+    dcoords_ref[...] = jnp.concatenate([d_x, d_y], axis=1).astype(
+        dcoords_ref.dtype
+    )
 
 
 def _pad_to(n: int, blk: int) -> int:
     return (n + blk - 1) // blk * blk
 
 
-def _forward_one(feat: jnp.ndarray, coords: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """(H, W, C), (N, 2) -> (N, C)."""
-    H, W, C = feat.shape
-    N = coords.shape[0]
-    Np = _pad_to(max(N, 8), _BLK)
-    coords_p = jnp.pad(coords, ((0, Np - N), (0, 0)))
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W),
-        grid=(Np // _BLK,),
-        in_specs=[
-            pl.BlockSpec((_BLK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H * W, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_BLK, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, C), feat.dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-    )(coords_p, feat.reshape(H * W, C))
-    return out[:N]
+def _pad_pts(a, n_pad):
+    n = a.shape[1]
+    return a if n == n_pad else jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -114,9 +156,37 @@ def gather_bilinear(
     """Bilinear-sample ``(B, H, W, C)`` features at ``(B, N, 2)`` coords.
 
     Drop-in for ``grid_sample_2d`` (align_corners=True, border padding,
-    (x, y) in [-1, 1]) backed by the VMEM-resident Pallas kernel.
+    (x, y) in [-1, 1]) backed by the VMEM-resident Pallas kernels.
     """
-    return jax.vmap(lambda f, c: _forward_one(f, c, interpret))(features, coords)
+    B, H, W, C = features.shape
+    N = coords.shape[1]
+    Np = _pad_to(max(N, 8), _BLK)
+    coords_p = _pad_pts(coords, Np)
+
+    def kernel(coords_ref, feat_ref, out_ref):
+        _fwd_kernel(coords_ref.at[0], feat_ref.at[0], out_ref.at[0], H=H, W=W)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Np // _BLK),
+        in_specs=[
+            pl.BlockSpec((1, _BLK, 2), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * W, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLK, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), features.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * H * W * C, bytes_accessed=0, transcendentals=0,
+        ),
+    )(coords_p, features.reshape(B, H * W, C))
+    return out[:, :N]
 
 
 def _fwd(features, coords, interpret):
@@ -124,59 +194,51 @@ def _fwd(features, coords, interpret):
 
 
 def _bwd(interpret, res, g):
-    """Analytic VJP (pure jnp — XLA's scatter-add handles d-features)."""
     features, coords = res
     B, H, W, C = features.shape
+    N = coords.shape[1]
+    Np = _pad_to(max(N, 8), _BLK)
+    coords_p = _pad_pts(coords, Np)
+    g_p = _pad_pts(g, Np)
 
-    x = jnp.clip((coords[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1)
-    y = jnp.clip((coords[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, W - 1)
-    y1i = jnp.minimum(y0i + 1, H - 1)
+    def kernel(coords_ref, feat_ref, g_ref, dfeat_ref, dcoords_ref):
+        _bwd_kernel(
+            coords_ref.at[0], feat_ref.at[0], g_ref.at[0],
+            dfeat_ref.at[0], dcoords_ref.at[0], H=H, W=W,
+        )
 
-    def scatter(dflat, idx, w):
-        # dflat: (N, C) cotangent contribution; idx: (N,) flat positions
-        return jax.vmap(
-            lambda df, ix, ww: jnp.zeros((H * W, C), df.dtype)
-            .at[ix]
-            .add(df * ww[:, None])
-        )(dflat, idx, w)
+    dfeat, dcoords = pl.pallas_call(
+        kernel,
+        grid=(B, Np // _BLK),
+        in_specs=[
+            pl.BlockSpec((1, _BLK, 2), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * W, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H * W, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK, 2), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H * W, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, 2), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Np * H * W * C, bytes_accessed=0, transcendentals=0,
+        ),
+    )(coords_p, features.reshape(B, H * W, C), g_p)
 
-    g = g.astype(jnp.float32)
-    d00 = scatter(g, y0i * W + x0i, (1 - wy) * (1 - wx))
-    d01 = scatter(g, y0i * W + x1i, (1 - wy) * wx)
-    d10 = scatter(g, y1i * W + x0i, wy * (1 - wx))
-    d11 = scatter(g, y1i * W + x1i, wy * wx)
-    d_feat = (d00 + d01 + d10 + d11).reshape(B, H, W, C).astype(features.dtype)
-
-    # d-coords: analytic bilinear derivative (gathers are cheap here)
-    flat = features.reshape(B, H * W, C).astype(jnp.float32)
-
-    def tap(yi, xi):
-        return jnp.take_along_axis(flat, (yi * W + xi)[..., None], axis=1)
-
-    f00 = tap(y0i, x0i)
-    f01 = tap(y0i, x1i)
-    f10 = tap(y1i, x0i)
-    f11 = tap(y1i, x1i)
-    gdot = lambda f: jnp.sum(g * f, axis=-1)
-    # d/dwx and d/dwy of the bilinear blend
-    d_wx = gdot((f01 - f00) * (1 - wy)[..., None] + (f11 - f10) * wy[..., None])
-    d_wy = gdot((f10 - f00) * (1 - wx)[..., None] + (f11 - f01) * wx[..., None])
-    # clamp zones have zero derivative w.r.t. the *unclamped* coordinate
-    x_un = (coords[..., 0] + 1.0) * 0.5 * (W - 1)
-    y_un = (coords[..., 1] + 1.0) * 0.5 * (H - 1)
-    live_x = ((x_un > 0) & (x_un < W - 1)).astype(jnp.float32)
-    live_y = ((y_un > 0) & (y_un < H - 1)).astype(jnp.float32)
-    d_x = d_wx * live_x * 0.5 * (W - 1)
-    d_y = d_wy * live_y * 0.5 * (H - 1)
-    d_coords = jnp.stack([d_x, d_y], axis=-1).astype(coords.dtype)
-
+    d_feat = dfeat.reshape(B, H, W, C).astype(features.dtype)
+    d_coords = dcoords[:, :N].astype(coords.dtype)
     return d_feat, d_coords
 
 

@@ -1,0 +1,345 @@
+"""Pallas TPU kernel: fused FC-ResNet field decoder (fwd + custom VJP).
+
+The latent-conditioned decoder (``avr_tpu.models.mlp.ResnetFC``, mirroring
+reference ``/root/reference/models.py:473-606``) is the FLOP hot spot of
+every field query: 13 back-to-back ``(N, 512) @ (512, 512)`` matmuls per
+point (lin_in, n_lin_z latent injections, 2 per residual block, lin_out).
+XLA runs each dot as its own fusion, so every intermediate ``(N, 512)``
+activation makes an HBM round trip — at the benchmark's N≈350k points
+that's ~9 GB of activation traffic per forward, about equal to the matmul
+compute time itself (PERF.md).
+
+This kernel streams blocks of points through VMEM while *all* decoder
+weights stay VMEM-resident (13 x 512x512 bf16 ≈ 7 MB), so activations
+never leave the chip: HBM traffic drops to the x/z inputs and the (N, 4)
+output.  The backward pass is a second kernel that recomputes the forward
+activations per block (FLOPs are cheap, HBM is not) and accumulates the
+weight cotangents in fp32 VMEM accumulators across the sequential TPU
+grid; point cotangents (dx, dz) stream out per block.
+
+Numerics: matmuls take bf16 (compute dtype) operands with fp32 MXU
+accumulation, and the residual trunk ``h`` is carried in fp32 — strictly
+tighter than the unfused bf16 path.  Parity with the Flax module (both
+values and grads) is pinned in ``tests/test_pallas_resnetfc.py`` via
+interpret mode.
+
+Restrictions (callers gate on these and fall back to the Flax path):
+ReLU activation (beta == 0), no BatchNorm, NS == 1 (no mid-network
+cross-view pool), d_latent > 0, d_in > 0, d_hidden a multiple of 128.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_resnetfc", "supports"]
+
+_BLK = 512  # points per grid step
+
+
+def supports(*, n_blocks: int, n_lin_z: int, d_hidden: int, d_latent: int,
+             d_in: int, bn: bool, beta: float) -> bool:
+    """Whether the fused kernel covers this decoder configuration."""
+    return (
+        not bn
+        and beta <= 0.0
+        and d_in > 0
+        and d_latent > 0
+        and d_hidden % 128 == 0
+        and 0 < n_lin_z <= n_blocks
+    )
+
+
+def _fwd_kernel(x_ref, z_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref, b0_ref,
+                w1_ref, b1_ref, wo_ref, bo_ref, out_ref, *, n_blocks, n_lin_z,
+                compute_dtype):
+    cd = compute_dtype
+    x = x_ref[...].astype(cd)
+    z = z_ref[...].astype(cd)
+
+    h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
+    h = h + bi_ref[...].astype(jnp.float32)  # fp32 trunk
+    for k in range(n_blocks):
+        if k < n_lin_z:
+            inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
+            h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
+        a1 = jnp.maximum(h, 0.0).astype(cd)
+        net = jnp.dot(a1, w0_ref[k], preferred_element_type=jnp.float32)
+        net = net + b0_ref[k : k + 1, :].astype(jnp.float32)
+        a2 = jnp.maximum(net, 0.0).astype(cd)
+        dx = jnp.dot(a2, w1_ref[k], preferred_element_type=jnp.float32)
+        h = h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
+    a = jnp.maximum(h, 0.0).astype(cd)
+    out = jnp.dot(a, wo_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = (out + bo_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
+                b0_ref, w1_ref, b1_ref, wo_ref,
+                dx_ref, dz_ref, dwi_ref, dbi_ref, dwz_ref, dbz_ref, dw0_ref,
+                db0_ref, dw1_ref, db1_ref, dwo_ref, dbo_ref, *, n_blocks,
+                n_lin_z, compute_dtype):
+    cd = compute_dtype
+    i = pl.program_id(0)
+
+    x = x_ref[...].astype(cd)
+    z = z_ref[...].astype(cd)
+    g = g_ref[...].astype(jnp.float32)
+
+    # --- recompute forward, keeping per-block pre-activations -------------
+    h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
+    h = h + bi_ref[...].astype(jnp.float32)
+    h_inj = []  # block input after latent injection (fp32)
+    nets = []  # fc_0 pre-activation (fp32)
+    for k in range(n_blocks):
+        if k < n_lin_z:
+            inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
+            h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
+        h_inj.append(h)
+        a1 = jnp.maximum(h, 0.0).astype(cd)
+        net = jnp.dot(a1, w0_ref[k], preferred_element_type=jnp.float32)
+        net = net + b0_ref[k : k + 1, :].astype(jnp.float32)
+        nets.append(net)
+        a2 = jnp.maximum(net, 0.0).astype(cd)
+        dx = jnp.dot(a2, w1_ref[k], preferred_element_type=jnp.float32)
+        h = h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
+    h_final = h
+
+    def contract_t(a, b):
+        # (BLK, M)^T @ (BLK, N) -> (M, N), fp32 accumulation on the MXU
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == 0)
+    def _init():
+        dwi_ref[...] = jnp.zeros_like(dwi_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+        dwz_ref[...] = jnp.zeros_like(dwz_ref)
+        dbz_ref[...] = jnp.zeros_like(dbz_ref)
+        dw0_ref[...] = jnp.zeros_like(dw0_ref)
+        db0_ref[...] = jnp.zeros_like(db0_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    # --- backward ----------------------------------------------------------
+    aout = jnp.maximum(h_final, 0.0).astype(cd)
+    dwo_ref[...] += contract_t(aout.astype(jnp.float32), g)
+    dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    gh = jnp.dot(g.astype(cd), wo_ref[...].T,
+                 preferred_element_type=jnp.float32)
+    gh = jnp.where(h_final > 0.0, gh, 0.0)
+
+    dz = jnp.zeros_like(z, jnp.float32)
+    for k in range(n_blocks - 1, -1, -1):
+        a1 = jnp.maximum(h_inj[k], 0.0).astype(cd)
+        a2 = jnp.maximum(nets[k], 0.0).astype(cd)
+        ghc = gh.astype(cd)
+        dw1_ref[k] += contract_t(a2.astype(jnp.float32), gh)
+        db1_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
+        gnet = jnp.dot(ghc, w1_ref[k].T, preferred_element_type=jnp.float32)
+        gnet = jnp.where(nets[k] > 0.0, gnet, 0.0)
+        dw0_ref[k] += contract_t(a1.astype(jnp.float32), gnet)
+        db0_ref[k : k + 1, :] += jnp.sum(gnet, axis=0, keepdims=True)
+        gh = gh + jnp.where(
+            h_inj[k] > 0.0,
+            jnp.dot(gnet.astype(cd), w0_ref[k].T,
+                    preferred_element_type=jnp.float32),
+            0.0,
+        )
+        if k < n_lin_z:
+            dwz_ref[k] += contract_t(z.astype(jnp.float32), gh)
+            dbz_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
+            dz = dz + jnp.dot(gh.astype(cd), wz_ref[k].T,
+                              preferred_element_type=jnp.float32)
+
+    dwi_ref[...] += contract_t(x.astype(jnp.float32), gh)
+    dbi_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
+    dx_ref[...] = jnp.dot(gh.astype(cd), wi_ref[...].T,
+                          preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dz_ref[...] = dz.astype(dz_ref.dtype)
+
+
+def _pad_rows(a, n_pad):
+    n = a.shape[0]
+    return a if n == n_pad else jnp.pad(a, ((0, n_pad - n), (0, 0)))
+
+
+_full = lambda i: (0, 0)
+_full3 = lambda i: (0, 0, 0)
+_blocked = lambda i: (i, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
+                d_hidden: int, d_out: int, compute_dtype, interpret: bool):
+    """Build (and cache) the custom-VJP fused decoder for one static config."""
+    cd = compute_dtype
+
+    def weight_specs():
+        return [
+            pl.BlockSpec((d_in, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lin_z, d_latent, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lin_z, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_hidden, d_out), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
+        ]
+
+    mm = 2 * d_hidden * d_hidden * (2 * n_blocks + n_lin_z) + 2 * d_in * d_hidden
+
+    def _forward(x, z, *params):
+        n = x.shape[0]
+        n_pad = max(pl.cdiv(n, _BLK), 1) * _BLK
+        xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
+        cparams = [p.astype(cd) for p in params]
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
+                              compute_dtype=cd),
+            grid=(n_pad // _BLK,),
+            in_specs=[
+                pl.BlockSpec((_BLK, d_in), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK, d_latent), _blocked, memory_space=pltpu.VMEM),
+                *weight_specs(),
+            ],
+            out_specs=pl.BlockSpec((_BLK, d_out), _blocked,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=n_pad * mm, bytes_accessed=0, transcendentals=0,
+            ),
+        )(xp, zp, *cparams)
+        return out[:n]
+
+    @jax.custom_vjp
+    def fused(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo):
+        return _forward(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)
+
+    def fwd(x, z, *params):
+        return _forward(x, z, *params), (x, z, params)
+
+    def bwd(res, g):
+        x, z, params = res
+        n = x.shape[0]
+        n_pad = max(pl.cdiv(n, _BLK), 1) * _BLK
+        xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
+        gp = _pad_rows(g.astype(jnp.float32), n_pad)
+        cparams = [p.astype(cd) for p in params[:-1]]  # bo unused in bwd
+
+        f32 = jnp.float32
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
+                              compute_dtype=cd),
+            grid=(n_pad // _BLK,),
+            in_specs=[
+                pl.BlockSpec((_BLK, d_in), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK, d_latent), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK, d_out), _blocked, memory_space=pltpu.VMEM),
+                *weight_specs()[:-1],
+            ],
+            out_specs=[
+                pl.BlockSpec((_BLK, d_in), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK, d_latent), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_in, d_hidden), _full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_lin_z, d_latent, d_hidden), _full3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_lin_z, d_hidden), _full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_hidden, d_out), _full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, d_in), f32),
+                jax.ShapeDtypeStruct((n_pad, d_latent), f32),
+                jax.ShapeDtypeStruct((d_in, d_hidden), f32),
+                jax.ShapeDtypeStruct((1, d_hidden), f32),
+                jax.ShapeDtypeStruct((n_lin_z, d_latent, d_hidden), f32),
+                jax.ShapeDtypeStruct((n_lin_z, d_hidden), f32),
+                jax.ShapeDtypeStruct((n_blocks, d_hidden, d_hidden), f32),
+                jax.ShapeDtypeStruct((n_blocks, d_hidden), f32),
+                jax.ShapeDtypeStruct((n_blocks, d_hidden, d_hidden), f32),
+                jax.ShapeDtypeStruct((n_blocks, d_hidden), f32),
+                jax.ShapeDtypeStruct((d_hidden, d_out), f32),
+                jax.ShapeDtypeStruct((1, d_out), f32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * n_pad * mm, bytes_accessed=0, transcendentals=0,
+            ),
+        )(xp, zp, gp, *cparams)
+
+        dx, dz, dwi, dbi, dwz, dbz, dw0, db0, dw1, db1, dwo, dbo = outs
+        cast = lambda grad, p: grad.astype(p.dtype)
+        return (
+            dx[:n].astype(x.dtype), dz[:n].astype(z.dtype),
+            cast(dwi, params[0]), cast(dbi, params[1]),
+            cast(dwz, params[2]), cast(dbz, params[3]),
+            cast(dw0, params[4]), cast(db0, params[5]),
+            cast(dw1, params[6]), cast(db1, params[7]),
+            cast(dwo, params[8]), cast(dbo, params[9]),
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
+                   compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """Apply the fused decoder.
+
+    Args:
+      x: ``(N, d_in)`` point features.
+      z: ``(N, d_latent)`` conditioning latents.
+      params: the Flax ``ResnetFC`` param subtree (``lin_in``, ``lin_z_k``,
+        ``block_k/fc_0|fc_1``, ``lin_out`` Dense kernels/biases).
+
+    Returns ``(N, d_out)`` in fp32.
+    """
+    wi = params["lin_in"]["kernel"]
+    bi = params["lin_in"]["bias"][None, :]
+    wz = jnp.stack([params[f"lin_z_{k}"]["kernel"] for k in range(n_lin_z)])
+    bz = jnp.stack([params[f"lin_z_{k}"]["bias"] for k in range(n_lin_z)])
+    w0 = jnp.stack([params[f"block_{k}"]["fc_0"]["kernel"]
+                    for k in range(n_blocks)])
+    b0 = jnp.stack([params[f"block_{k}"]["fc_0"]["bias"]
+                    for k in range(n_blocks)])
+    w1 = jnp.stack([params[f"block_{k}"]["fc_1"]["kernel"]
+                    for k in range(n_blocks)])
+    b1 = jnp.stack([params[f"block_{k}"]["fc_1"]["bias"]
+                    for k in range(n_blocks)])
+    wo = params["lin_out"]["kernel"]
+    bo = params["lin_out"]["bias"][None, :]
+
+    fn = _make_fused(
+        n_blocks, n_lin_z, x.shape[-1], z.shape[-1], wi.shape[-1],
+        wo.shape[-1], jnp.dtype(compute_dtype).type, interpret,
+    )
+    return fn(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)

@@ -51,7 +51,8 @@ def main():
 
     model_cfg = ModelConfig.from_conf(conf["model"])
     gather = os.environ.get("BENCH_GATHER", "xla")
-    model_cfg = dataclasses.replace(model_cfg, gather_impl=gather)
+    fused = os.environ.get("BENCH_FUSED_MLP", "auto")
+    model_cfg = dataclasses.replace(model_cfg, gather_impl=gather, fused_mlp=fused)
     model = RadFieldRenderer(
         model_cfg=model_cfg,
         renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
