@@ -17,11 +17,21 @@ activations per block (FLOPs are cheap, HBM is not) and accumulates the
 weight cotangents in fp32 VMEM accumulators across the sequential TPU
 grid; point cotangents (dx, dz) stream out per block.
 
-Numerics: matmuls take bf16 (compute dtype) operands with fp32 MXU
-accumulation, and the residual trunk ``h`` is carried in fp32 — strictly
-tighter than the unfused bf16 path.  Parity with the Flax module (both
-values and grads) is pinned in ``tests/test_pallas_resnetfc.py`` via
-interpret mode.
+Performance rules this kernel follows (learned the hard way — v1 measured
+*slower* than XLA):
+
+  * every MXU contraction takes **bf16 operands** with fp32 accumulation
+    (``preferred_element_type``).  fp32-operand matmuls run at a fraction
+    of bf16 MXU peak, and v1's weight-gradient contractions were fp32;
+  * the backward's ``@ W^T`` matmuls use **pre-transposed weight copies**
+    computed once outside the kernel — an in-kernel ``.T`` re-lays out a
+    512x512 tile on every one of the ~hundreds of grid steps;
+  * large point blocks (1024) amortize the MXU pipeline drain between the
+    13 dependent matmuls.
+
+Numerics: the residual trunk ``h`` is carried in fp32 — strictly tighter
+than the unfused bf16 path.  Parity with the Flax module (both values and
+grads) is pinned in ``tests/test_pallas_resnetfc.py`` via interpret mode.
 
 Restrictions (callers gate on these and fall back to the Flax path):
 ReLU activation (beta == 0), no BatchNorm, NS == 1 (no mid-network
@@ -39,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_resnetfc", "supports"]
 
-_BLK = 512  # points per grid step
+_BLK_FWD = 2048  # points per forward grid step
+_BLK_BWD = 2048  # points per backward grid step
 
 
 def supports(*, n_blocks: int, n_lin_z: int, d_hidden: int, d_latent: int,
@@ -80,7 +91,8 @@ def _fwd_kernel(x_ref, z_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref, b0_ref,
 
 
 def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
-                b0_ref, w1_ref, b1_ref, wo_ref,
+                b0_ref, w1_ref, b1_ref,
+                wiT_ref, wzT_ref, w0T_ref, w1T_ref, woT_ref,
                 dx_ref, dz_ref, dwi_ref, dbi_ref, dwz_ref, dbz_ref, dw0_ref,
                 db0_ref, dw1_ref, db1_ref, dwo_ref, dbo_ref, *, n_blocks,
                 n_lin_z, compute_dtype):
@@ -91,29 +103,32 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
     z = z_ref[...].astype(cd)
     g = g_ref[...].astype(jnp.float32)
 
-    # --- recompute forward, keeping per-block pre-activations -------------
+    # --- recompute forward, stashing post-ReLU activations in bf16 --------
+    # (the cd-cast values are exactly what the matmuls consumed; the ReLU
+    # masks are recovered as a > 0, and cd keeps the stash VMEM half-size)
     h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
     h = h + bi_ref[...].astype(jnp.float32)
-    h_inj = []  # block input after latent injection (fp32)
-    nets = []  # fc_0 pre-activation (fp32)
+    a1s = []  # relu(block input) in cd
+    a2s = []  # relu(fc_0 pre-activation) in cd
     for k in range(n_blocks):
         if k < n_lin_z:
             inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
             h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
-        h_inj.append(h)
         a1 = jnp.maximum(h, 0.0).astype(cd)
+        a1s.append(a1)
         net = jnp.dot(a1, w0_ref[k], preferred_element_type=jnp.float32)
         net = net + b0_ref[k : k + 1, :].astype(jnp.float32)
-        nets.append(net)
         a2 = jnp.maximum(net, 0.0).astype(cd)
+        a2s.append(a2)
         dx = jnp.dot(a2, w1_ref[k], preferred_element_type=jnp.float32)
         h = h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
     h_final = h
 
     def contract_t(a, b):
-        # (BLK, M)^T @ (BLK, N) -> (M, N), fp32 accumulation on the MXU
+        # (BLK, M)^T @ (BLK, N) -> (M, N): bf16 operands, fp32 MXU accumulate
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            a.astype(cd), b.astype(cd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -131,39 +146,39 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
     # --- backward ----------------------------------------------------------
-    aout = jnp.maximum(h_final, 0.0).astype(cd)
-    dwo_ref[...] += contract_t(aout.astype(jnp.float32), g)
+    aout = jnp.maximum(h_final, 0.0)
+    dwo_ref[...] += contract_t(aout, g)
     dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-    gh = jnp.dot(g.astype(cd), wo_ref[...].T,
-                 preferred_element_type=jnp.float32)
+    gh = jnp.dot(g.astype(cd), woT_ref[...], preferred_element_type=jnp.float32)
     gh = jnp.where(h_final > 0.0, gh, 0.0)
 
     dz = jnp.zeros_like(z, jnp.float32)
     for k in range(n_blocks - 1, -1, -1):
-        a1 = jnp.maximum(h_inj[k], 0.0).astype(cd)
-        a2 = jnp.maximum(nets[k], 0.0).astype(cd)
+        a1 = a1s[k]
+        a2 = a2s[k]
         ghc = gh.astype(cd)
-        dw1_ref[k] += contract_t(a2.astype(jnp.float32), gh)
+        dw1_ref[k] += contract_t(a2, gh)
         db1_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
-        gnet = jnp.dot(ghc, w1_ref[k].T, preferred_element_type=jnp.float32)
-        gnet = jnp.where(nets[k] > 0.0, gnet, 0.0)
-        dw0_ref[k] += contract_t(a1.astype(jnp.float32), gnet)
+        gnet = jnp.dot(ghc, w1T_ref[k], preferred_element_type=jnp.float32)
+        # masks compared in f32: Mosaic's v5e target rejects bf16 cmpf
+        gnet = jnp.where(a2.astype(jnp.float32) > 0.0, gnet, 0.0)
+        dw0_ref[k] += contract_t(a1, gnet)
         db0_ref[k : k + 1, :] += jnp.sum(gnet, axis=0, keepdims=True)
         gh = gh + jnp.where(
-            h_inj[k] > 0.0,
-            jnp.dot(gnet.astype(cd), w0_ref[k].T,
+            a1.astype(jnp.float32) > 0.0,
+            jnp.dot(gnet.astype(cd), w0T_ref[k],
                     preferred_element_type=jnp.float32),
             0.0,
         )
         if k < n_lin_z:
-            dwz_ref[k] += contract_t(z.astype(jnp.float32), gh)
+            dwz_ref[k] += contract_t(z, gh)
             dbz_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
-            dz = dz + jnp.dot(gh.astype(cd), wz_ref[k].T,
+            dz = dz + jnp.dot(gh.astype(cd), wzT_ref[k],
                               preferred_element_type=jnp.float32)
 
-    dwi_ref[...] += contract_t(x.astype(jnp.float32), gh)
+    dwi_ref[...] += contract_t(x, gh)
     dbi_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
-    dx_ref[...] = jnp.dot(gh.astype(cd), wi_ref[...].T,
+    dx_ref[...] = jnp.dot(gh.astype(cd), wiT_ref[...],
                           preferred_element_type=jnp.float32).astype(dx_ref.dtype)
     dz_ref[...] = dz.astype(dz_ref.dtype)
 
@@ -201,23 +216,37 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
             pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
         ]
 
+    def weight_t_specs():
+        # pre-transposed copies used by the backward's dgrad chain
+        return [
+            pl.BlockSpec((d_hidden, d_in), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lin_z, d_hidden, d_latent), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_out, d_hidden), _full, memory_space=pltpu.VMEM),
+        ]
+
     mm = 2 * d_hidden * d_hidden * (2 * n_blocks + n_lin_z) + 2 * d_in * d_hidden
 
     def _forward(x, z, *params):
         n = x.shape[0]
-        n_pad = max(pl.cdiv(n, _BLK), 1) * _BLK
+        n_pad = max(pl.cdiv(n, _BLK_FWD), 1) * _BLK_FWD
         xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
         cparams = [p.astype(cd) for p in params]
         out = pl.pallas_call(
             functools.partial(_fwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
                               compute_dtype=cd),
-            grid=(n_pad // _BLK,),
+            grid=(n_pad // _BLK_FWD,),
             in_specs=[
-                pl.BlockSpec((_BLK, d_in), _blocked, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK, d_latent), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK_FWD, d_in), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK_FWD, d_latent), _blocked,
+                             memory_space=pltpu.VMEM),
                 *weight_specs(),
             ],
-            out_specs=pl.BlockSpec((_BLK, d_out), _blocked,
+            out_specs=pl.BlockSpec((_BLK_FWD, d_out), _blocked,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32),
             interpret=interpret,
@@ -240,25 +269,40 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
     def bwd(res, g):
         x, z, params = res
         n = x.shape[0]
-        n_pad = max(pl.cdiv(n, _BLK), 1) * _BLK
+        n_pad = max(pl.cdiv(n, _BLK_BWD), 1) * _BLK_BWD
         xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
         gp = _pad_rows(g.astype(jnp.float32), n_pad)
-        cparams = [p.astype(cd) for p in params[:-1]]  # bo unused in bwd
+        wi, bi, wz, bz, w0, b0, w1, b1, wo, bo = params
+        cparams = [p.astype(cd) for p in (wi, bi, wz, bz, w0, b0, w1, b1)]
+        # Transposes computed ONCE here (cheap XLA transposes in HBM) so the
+        # kernel's dgrad chain is all plain A @ B on the MXU.
+        tparams = [
+            wi.astype(cd).T,
+            jnp.swapaxes(wz.astype(cd), 1, 2),
+            jnp.swapaxes(w0.astype(cd), 1, 2),
+            jnp.swapaxes(w1.astype(cd), 1, 2),
+            wo.astype(cd).T,
+        ]
 
         f32 = jnp.float32
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
                               compute_dtype=cd),
-            grid=(n_pad // _BLK,),
+            grid=(n_pad // _BLK_BWD,),
             in_specs=[
-                pl.BlockSpec((_BLK, d_in), _blocked, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK, d_latent), _blocked, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK, d_out), _blocked, memory_space=pltpu.VMEM),
-                *weight_specs()[:-1],
+                pl.BlockSpec((_BLK_BWD, d_in), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK_BWD, d_latent), _blocked,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK_BWD, d_out), _blocked,
+                             memory_space=pltpu.VMEM),
+                *weight_specs()[:-2],
+                *weight_t_specs(),
             ],
             out_specs=[
-                pl.BlockSpec((_BLK, d_in), _blocked, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK, d_latent), _blocked, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK_BWD, d_in), _blocked,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_BLK_BWD, d_latent), _blocked,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_in, d_hidden), _full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_lin_z, d_latent, d_hidden), _full3,
@@ -294,7 +338,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
             cost_estimate=pl.CostEstimate(
                 flops=3 * n_pad * mm, bytes_accessed=0, transcendentals=0,
             ),
-        )(xp, zp, gp, *cparams)
+        )(xp, zp, gp, *cparams, *tparams)
 
         dx, dz, dwi, dbi, dwz, dbz, dw0, db0, dw1, db1, dwo, dbo = outs
         cast = lambda grad, p: grad.astype(p.dtype)
