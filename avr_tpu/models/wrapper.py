@@ -45,6 +45,10 @@ class RadFieldRenderer(nn.Module):
     # FLOPs for O(n_samples) less activation memory, enabling much larger
     # ray batches per chip (jax.checkpoint over the field closure).
     remat_field: bool = False
+    # Fully-fused Pallas LSTM march (avr_tpu/ops/pallas/march.py):
+    # "never" | "auto" (TPU backends, NS == 1, no early-stop) | "always"
+    # (also on CPU via interpret mode, for tests).
+    fused_march: str = "auto"
 
     @property
     def has_marcher(self) -> bool:
@@ -124,17 +128,72 @@ class RadFieldRenderer(nn.Module):
         def step_head(h):
             return self.out_layer(h)
 
+        march_fn = self._maybe_fused_march(cond, cfg)
+
         if isinstance(cfg, RaymarcherConfig):
             return render_raymarcher(
                 cfg, key, field, features, cell, step_head,
-                xy_pix, intrinsics, cam2world,
+                xy_pix, intrinsics, cam2world, march_fn=march_fn,
             )
         if isinstance(cfg, AdaptiveRendererConfig):
             return render_adaptive(
                 cfg, key, field, features, cell, step_head,
-                xy_pix, intrinsics, cam2world,
+                xy_pix, intrinsics, cam2world, march_fn=march_fn,
             )
         raise NotImplementedError(f"Unknown renderer config {type(cfg)}")
+
+    def _maybe_fused_march(self, cond: Conditioning, cfg):
+        """Build the fused-march closure when the config allows it, else None.
+
+        The fused kernel covers the reference-exact march: NS == 1 source
+        view, pixel-aligned conditioning, no early-stop masking.  Everything
+        else falls back to the ``lax.scan`` path.
+        """
+        if (
+            self.fused_march == "never"
+            or self.is_initializing()
+            or not self.has_marcher
+            or cond.num_views != 1
+            or not self.model_cfg.use_encoder
+            or getattr(cfg, "early_stop_eps", 0.0) != 0.0
+            or 2 * cfg.hidden_size + 3 > 128
+        ):
+            return None
+        import jax as _jax
+
+        backend = _jax.default_backend()
+        if self.fused_march != "always" and backend in ("cpu", "gpu"):
+            return None
+
+        from avr_tpu.ops.pallas.march import fused_lstm_march, pack_projection
+
+        lstm_params = self.lstm.variables["params"]
+        out_params = self.out_layer.variables["params"]
+        latent = cond.latent  # (SB, H', W', C) since NS == 1
+        if self.model_cfg.stop_encoder_grad:
+            latent = jax.lax.stop_gradient(latent)
+        proj = pack_projection(
+            cond.poses, cond.focal, cond.c, cond.latent_scaling,
+            cond.image_shape,
+        )
+        compute_dtype = self.dtype
+
+        def march_fn(k, ros, rds):
+            init_distance = cfg.init_distance_mean + (
+                cfg.init_distance_std
+                * jax.random.normal(k, ros.shape[:2] + (1,), jnp.float32)
+            )
+            coords0 = ros + rds * init_distance
+            return fused_lstm_march(
+                proj, coords0, rds, latent,
+                lstm_params["w_ih"], lstm_params["w_hh"],
+                lstm_params["b_ih"] + lstm_params["b_hh"],
+                out_params["kernel"], out_params["bias"],
+                steps=cfg.raymarch_steps, grad_clamp=cfg.grad_clamp,
+                compute_dtype=compute_dtype, interpret=backend == "cpu",
+            )
+
+        return march_fn
 
     def __call__(
         self, model_input: Dict[str, jnp.ndarray], cond: Conditioning,

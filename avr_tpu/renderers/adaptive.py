@@ -41,17 +41,22 @@ def render_adaptive(
     xy_pix: jnp.ndarray,  # (SB, R, 2)
     intrinsics: jnp.ndarray,  # (SB, 3, 3)
     cam2world: jnp.ndarray,  # (SB, R, 4, 4)
+    march_fn=None,  # optional override: march_fn(key, ros, rds) -> coords
 ) -> RenderOutput:
     ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
     k_march, k_band = jax.random.split(key)
 
-    coords = lstm_march(
-        k_march, features, cell, step_head, ros, rds,
-        steps=cfg.raymarch_steps, hidden_size=cfg.hidden_size,
-        grad_clamp=cfg.grad_clamp, init_mean=cfg.init_distance_mean,
-        init_std=cfg.init_distance_std,
-        early_stop_eps=cfg.early_stop_eps,
-    )
+    if march_fn is not None:
+        # e.g. the fused Pallas march (avr_tpu.ops.pallas.march)
+        coords = march_fn(k_march, ros, rds)
+    else:
+        coords = lstm_march(
+            k_march, features, cell, step_head, ros, rds,
+            steps=cfg.raymarch_steps, hidden_size=cfg.hidden_size,
+            grad_clamp=cfg.grad_clamp, init_mean=cfg.init_distance_mean,
+            init_std=cfg.init_distance_std,
+            early_stop_eps=cfg.early_stop_eps,
+        )
 
     # Coarse output: the field colour at the marched surface point.
     out_coarse = field(coords, rds, True)

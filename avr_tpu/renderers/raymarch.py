@@ -101,15 +101,20 @@ def render_raymarcher(
     xy_pix: jnp.ndarray,
     intrinsics: jnp.ndarray,
     cam2world: jnp.ndarray,
+    march_fn=None,  # optional override: march_fn(key, ros, rds) -> coords
 ) -> RenderOutput:
     ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
-    coords = lstm_march(
-        key, features, cell, step_head, ros, rds,
-        steps=cfg.raymarch_steps, hidden_size=cfg.hidden_size,
-        grad_clamp=cfg.grad_clamp, init_mean=cfg.init_distance_mean,
-        init_std=cfg.init_distance_std,
-        early_stop_eps=cfg.early_stop_eps,
-    )
+    if march_fn is not None:
+        # e.g. the fused Pallas march (avr_tpu.ops.pallas.march)
+        coords = march_fn(key, ros, rds)
+    else:
+        coords = lstm_march(
+            key, features, cell, step_head, ros, rds,
+            steps=cfg.raymarch_steps, hidden_size=cfg.hidden_size,
+            grad_clamp=cfg.grad_clamp, init_mean=cfg.init_distance_mean,
+            init_std=cfg.init_distance_std,
+            early_stop_eps=cfg.early_stop_eps,
+        )
     out = field(coords, rds, True)
     rgb = out[..., :3]
     depth = depth_from_world(coords, cam2world)[..., None]
