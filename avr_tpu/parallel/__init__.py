@@ -5,4 +5,7 @@ from avr_tpu.parallel.mesh import (  # noqa: F401
     ray_sharding,
     shard_train_inputs,
 )
-from avr_tpu.parallel.sharded_step import make_sharded_train_step  # noqa: F401
+from avr_tpu.parallel.sharded_step import (  # noqa: F401
+    make_sharded_train_step,
+    make_shardmap_train_step,
+)
