@@ -131,8 +131,9 @@ class ModelConfig:
     gather_impl: str = "auto"
     # Fused Pallas decoder kernel (avr_tpu/ops/pallas/resnetfc.py):
     # "never" | "auto" (TPU backends only) | "always" (tests: CPU interpret).
-    # Measured neutral vs XLA at benchmark shapes (PERF.md), so off by default.
-    fused_mlp: str = "never"
+    # v2 (bf16 wgrad operands, pre-transposed weights) beats XLA by ~10%
+    # device-time at benchmark shapes (PERF.md), so on by default on TPU.
+    fused_mlp: str = "auto"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     code: CodeConfig = field(default_factory=CodeConfig)
     mlp_coarse: MLPConfig = field(default_factory=MLPConfig)
@@ -438,9 +439,14 @@ class PixelNeRFNet(nn.Module):
                         else "xla"
                     )
                 if impl == "pallas":
-                    from avr_tpu.ops.pallas.gather import gather_bilinear
+                    # windowed kernel: identical semantics, and block-row
+                    # coherence (ray-sorted band queries) cuts the one-hot
+                    # contraction up to 4x (see gather.py)
+                    from avr_tpu.ops.pallas.gather import (
+                        gather_bilinear_windowed,
+                    )
 
-                    latent = gather_bilinear(
+                    latent = gather_bilinear_windowed(
                         cond.latent, grid.reshape(SB * NS, B, 2)
                     ).reshape(SB, NS, B, -1)
                 else:

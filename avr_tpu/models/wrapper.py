@@ -139,8 +139,41 @@ class RadFieldRenderer(nn.Module):
             return render_adaptive(
                 cfg, key, field, features, cell, step_head,
                 xy_pix, intrinsics, cam2world, march_fn=march_fn,
+                sort_key_fn=self._maybe_sort_key(cond),
             )
         raise NotImplementedError(f"Unknown renderer config {type(cfg)}")
+
+    def _maybe_sort_key(self, cond: Conditioning):
+        """Locality key for the adaptive band: the marched point's row in
+        the source view, so ray-sorted band queries hit the windowed
+        gather's fast path.  Only worth it when the Pallas gather runs."""
+        import jax as _jax
+
+        impl = self.model_cfg.gather_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if _jax.default_backend() not in ("cpu", "gpu")
+                else "xla"
+            )
+        if impl != "pallas" or cond.num_views != 1 or self.is_initializing():
+            return None
+
+        from avr_tpu.ops.pallas.march import pack_projection
+
+        proj = pack_projection(
+            cond.poses, cond.focal, cond.c, cond.latent_scaling,
+            cond.image_shape,
+        )  # (SB, 16)
+
+        def sort_key(coords):  # (SB, R, 3) -> (SB, R) source-view row
+            R = proj[:, :9].reshape(-1, 3, 3)
+            t = proj[:, 9:12]
+            cam = jnp.einsum("sij,srj->sri", R, coords) + t[:, None, :]
+            gy = -(cam[..., 1] / cam[..., 2]) * proj[:, None, 13] + proj[:, None, 15]
+            return gy
+
+        return sort_key
 
     def _maybe_fused_march(self, cond: Conditioning, cfg):
         """Build the fused-march closure when the config allows it, else None.

@@ -42,6 +42,7 @@ def render_adaptive(
     intrinsics: jnp.ndarray,  # (SB, 3, 3)
     cam2world: jnp.ndarray,  # (SB, R, 4, 4)
     march_fn=None,  # optional override: march_fn(key, ros, rds) -> coords
+    sort_key_fn=None,  # optional: coords (SB, R, 3) -> (SB, R) locality key
 ) -> RenderOutput:
     ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
     k_march, k_band = jax.random.split(key)
@@ -76,12 +77,33 @@ def render_adaptive(
     )
     z_sorted = jnp.sort(z_vals, axis=-1)
 
-    sigma, rad = _query(field, ros, rds, z_sorted, coarse=False)
+    # Optional locality sort: render the band in ray order sorted by the
+    # marched point's source-view row, so the Pallas windowed gather sees
+    # row-coherent query blocks (gather.py).  Per-ray work is independent,
+    # so this is a pure permutation: only the small per-ray inputs/outputs
+    # are shuffled (the big per-point tensors are *produced* in sorted
+    # order, never permuted).
+    if sort_key_fn is not None:
+        order = jnp.argsort(sort_key_fn(coords), axis=-1)  # (SB, R)
+        inv = jnp.argsort(order, axis=-1)
+        take = lambda a, o: jnp.take_along_axis(
+            a, o[..., *([None] * (a.ndim - 2))], axis=1
+        )
+        ros_q, rds_q, z_q = take(ros, order), take(rds, order), take(z_sorted, order)
+    else:
+        ros_q, rds_q, z_q = ros, rds, z_sorted
+
+    sigma, rad = _query(field, ros_q, rds_q, z_q, coarse=False)
     rgb, distance, _ = volume_integral(
-        z_sorted, sigma, rad, white_back=cfg.white_back
+        z_q, sigma, rad, white_back=cfg.white_back
     )
 
-    world = ros + rds * distance
+    if sort_key_fn is not None:
+        rgb = take(rgb, inv)
+        distance = take(distance, inv)
+        world = ros + rds * distance
+    else:
+        world = ros + rds * distance
     depth = depth_from_world(world, cam2world)[..., None]
 
     return RenderOutput(rgb_coarse, rgb, depth_coarse, depth)

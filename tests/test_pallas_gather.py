@@ -6,6 +6,7 @@ with it transfers torch parity to the kernel.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -71,3 +72,59 @@ def test_vjp_coords_zero_in_clamp_zone(rng):
     )(coords)
     # fully clamped x and y -> zero coordinate gradient there
     np.testing.assert_allclose(np.asarray(g)[0, 0], 0.0, atol=1e-6)
+
+
+# ------------------- windowed gather (same semantics) ----------------------
+
+
+def _wcase(rng, B=2, H=20, W=8, C=16, N=600, scale=1.3, coherent=False):
+    feats = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    if coherent:
+        # ray-sorted-like coords: y increases smoothly across the batch
+        y = np.sort(rng.uniform(-scale, scale, size=(B, N)), axis=-1)
+        x = rng.uniform(-scale, scale, size=(B, N))
+        coords = np.stack([x, y], axis=-1).astype(np.float32)
+    else:
+        coords = rng.uniform(-scale, scale, size=(B, N, 2)).astype(np.float32)
+    return jnp.asarray(feats), jnp.asarray(coords)
+
+
+@pytest.mark.parametrize("coherent", [False, True], ids=["random", "sorted"])
+def test_windowed_forward_matches_reference(rng, coherent):
+    from avr_tpu.ops.pallas.gather import gather_bilinear_windowed
+
+    feats, coords = _wcase(rng, coherent=coherent)
+    got = np.asarray(gather_bilinear_windowed(feats, coords, True))
+    want = np.asarray(grid_sample_2d(feats, coords))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("coherent", [False, True], ids=["random", "sorted"])
+def test_windowed_vjp_matches_reference(rng, coherent):
+    from avr_tpu.ops.pallas.gather import gather_bilinear_windowed
+
+    feats, coords = _wcase(rng, coherent=coherent)
+    cot = jnp.asarray(rng.normal(size=(2, 600, 16)).astype(np.float32))
+
+    def loss_k(f, c):
+        return jnp.sum(gather_bilinear_windowed(f, c, True) * cot)
+
+    def loss_r(f, c):
+        return jnp.sum(grid_sample_2d(f, c) * cot)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(feats, coords)
+    gr = jax.grad(loss_r, argnums=(0, 1))(feats, coords)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_small_map_single_window(rng):
+    """H < window height: degenerates to one full-height window."""
+    from avr_tpu.ops.pallas.gather import gather_bilinear_windowed
+
+    feats, coords = _wcase(rng, H=8, N=40)
+    got = np.asarray(gather_bilinear_windowed(feats, coords, True))
+    want = np.asarray(grid_sample_2d(feats, coords))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

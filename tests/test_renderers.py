@@ -323,3 +323,40 @@ def test_wrapper_render_jits_and_differentiates(rng):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0
+
+
+def test_adaptive_sort_key_is_pure_permutation():
+    """render_adaptive with a locality sort_key_fn returns identical
+    outputs: the band jitter is drawn before sorting, per-ray work is
+    independent, and outputs are un-permuted."""
+    xy, K, c2w = _rays(R=16)
+    origin = (0.0, 0.0, 1.3)
+    field = shell_field(1.2, 0.05, 500.0, (0.8, 0.3, 0.1), origin)
+
+    def features(xyz, viewdirs):
+        return jnp.zeros((1, 1, xyz.shape[1], 8), jnp.float32)
+
+    def cell_fn(v, state):
+        return state
+
+    def step_head(h):
+        return jnp.zeros(h.shape[:-1] + (1,), jnp.float32)
+
+    cfg = AdaptiveRendererConfig(
+        epsilon=0.15, n_coarse=6, white_back=True,
+        init_distance_mean=1.2, init_distance_std=0.05, raymarch_steps=2,
+        hidden_size=8,
+    )
+    base = render_adaptive(
+        cfg, jax.random.PRNGKey(0), field, features, cell_fn, step_head,
+        xy, K, c2w,
+    )
+    sorted_out = render_adaptive(
+        cfg, jax.random.PRNGKey(0), field, features, cell_fn, step_head,
+        xy, K, c2w, sort_key_fn=lambda coords: coords[..., 1],
+    )
+    for a, b in [(base.rgb_fine, sorted_out.rgb_fine),
+                 (base.depth_fine, sorted_out.depth_fine),
+                 (base.rgb_coarse, sorted_out.rgb_coarse)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
