@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of the first training "
                         "steps into this directory (view with xprof/tensorboard)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prng_impl", type=str, default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG bit generator. 'rbg' is the TPU-native choice "
+                        "(XLA RngBitGenerator; threefry costs ~2 ms/step in "
+                        "counter math at default shapes, PERF.md); "
+                        "'threefry2x32' gives JAX's portable default streams")
     return p
 
 
@@ -82,6 +88,7 @@ def main(argv=None):
 
     if opt.anomaly_detection:
         jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_default_prng_impl", opt.prng_impl)
 
     from avr_tpu.config import parse_conf
     from avr_tpu.data.dataset import SceneClassDataset

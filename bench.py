@@ -46,11 +46,17 @@ def main():
 
     DTYPE = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
+    # TPU-native RNG (matches the train CLI's default --prng_impl=rbg):
+    # threefry's counter math costs ~2 ms/step at these shapes (PERF.md).
+    jax.config.update(
+        "jax_default_prng_impl", os.environ.get("BENCH_PRNG", "rbg")
+    )
+
     conf = parse_conf(os.path.join(os.path.dirname(__file__), "conf", "default_mv.conf"))
     import dataclasses
 
     model_cfg = ModelConfig.from_conf(conf["model"])
-    gather = os.environ.get("BENCH_GATHER", "xla")
+    gather = os.environ.get("BENCH_GATHER", "auto")
     fused = os.environ.get("BENCH_FUSED_MLP", "auto")
     model_cfg = dataclasses.replace(model_cfg, gather_impl=gather, fused_mlp=fused)
     model = RadFieldRenderer(
@@ -58,6 +64,7 @@ def main():
         renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
         dtype=DTYPE,
         remat_field=os.environ.get("BENCH_REMAT", "0") == "1",
+        fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"),
     )
 
     rng = np.random.default_rng(0)

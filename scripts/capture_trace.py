@@ -9,6 +9,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np, jax, jax.numpy as jnp, optax, dataclasses
+jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_PRNG", "rbg"))
 from avr_tpu.config import parse_conf
 from avr_tpu.models.pixelnerf import ModelConfig
 from avr_tpu.models.wrapper import RadFieldRenderer
@@ -18,11 +19,12 @@ from avr_tpu.training import LossParams, create_train_state, make_train_step
 SB, NS, SIDE, R = 4, 1, 128, 4096
 conf = parse_conf(_os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "conf", "default_mv.conf"))
 model_cfg = dataclasses.replace(ModelConfig.from_conf(conf["model"]),
-                                fused_mlp=os.environ.get("BENCH_FUSED_MLP", "never"),
+                                fused_mlp=os.environ.get("BENCH_FUSED_MLP", "auto"),
                                 gather_impl=os.environ.get("BENCH_GATHER", "auto"))
 model = RadFieldRenderer(model_cfg=model_cfg,
                          renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
-                         dtype=jnp.bfloat16, remat_field=False)
+                         dtype=jnp.bfloat16, remat_field=False,
+                         fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"))
 rng = np.random.default_rng(0)
 images = jnp.asarray(rng.normal(size=(SB, NS, SIDE, SIDE, 3)).astype(np.float32))
 c2w = np.eye(4, dtype=np.float32) @ np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
