@@ -217,14 +217,30 @@ class RadFieldRenderer(nn.Module):
                 * jax.random.normal(k, ros.shape[:2] + (1,), jnp.float32)
             )
             coords0 = ros + rds * init_distance
-            return fused_lstm_march(
-                proj, coords0, rds, latent,
+
+            # Sort rays by the initial point's source-view row so the
+            # kernel's per-step windowed gather sees row-coherent blocks
+            # (rays drift along themselves, so coherence survives the
+            # march).  Pure permutation: outputs are un-permuted below.
+            R = proj[:, :9].reshape(-1, 3, 3)
+            t = proj[:, 9:12]
+            cam = jnp.einsum("sij,srj->sri", R, coords0) + t[:, None, :]
+            key_row = -(cam[..., 1] / cam[..., 2]) * proj[:, None, 13] + (
+                proj[:, None, 15]
+            )
+            order = jnp.argsort(key_row, axis=-1)
+            inv = jnp.argsort(order, axis=-1)
+            take = lambda a, o: jnp.take_along_axis(a, o[..., None], axis=1)
+
+            coords = fused_lstm_march(
+                proj, take(coords0, order), take(rds, order), latent,
                 lstm_params["w_ih"], lstm_params["w_hh"],
                 lstm_params["b_ih"] + lstm_params["b_hh"],
                 out_params["kernel"], out_params["bias"],
                 steps=cfg.raymarch_steps, grad_clamp=cfg.grad_clamp,
                 compute_dtype=compute_dtype, interpret=backend == "cpu",
             )
+            return take(coords, inv)
 
         return march_fn
 

@@ -152,17 +152,41 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
             [h, c, cx[:, None], cy[:, None], cz[:, None], pad], axis=1
         )[None]
         gx, gy = _project(proj_ref, row, cx, cy, cz)
+        # windowed gather (see gather.py): the block's own tap rows pick
+        # 1..H/wr dynamically-positioned wr-row windows; ray-sorted blocks
+        # (wrapper sorts rays by initial source-view row) stay coherent
+        # through the march, so this usually runs one window.
         idx, w, _, _ = _taps(gx, gy, H, W)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (blk, HW), 1)
-        sel = (
-            (pos == idx[0]).astype(jnp.float32) * w[0]
-            + (pos == idx[1]).astype(jnp.float32) * w[1]
-            + (pos == idx[2]).astype(jnp.float32) * w[2]
-            + (pos == idx[3]).astype(jnp.float32) * w[3]
-        )
-        v = jnp.dot(
-            sel.astype(feat_ref.dtype), feat_ref[...],
-            preferred_element_type=jnp.float32,
+        wr = min(16, H)
+        y0i = idx[0][:, 0] // W
+        y1i = idx[2][:, 0] // W
+        lo = jnp.min(y0i)
+        hi = jnp.max(y1i)
+        n_win = (hi - lo) // wr + 1
+        start = jnp.maximum(jnp.minimum(lo, H - n_win * wr), 0)
+
+        def win_body(wi, acc):
+            rs_cover = start + wi * wr
+            rs = jnp.minimum(rs_cover, H - wr)
+            pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (blk, wr * W), 1)
+                + rs * W
+            )
+            cover = pos >= rs_cover * W
+            sel = (
+                ((pos == idx[0]) & cover).astype(jnp.float32) * w[0]
+                + ((pos == idx[1]) & cover).astype(jnp.float32) * w[1]
+                + ((pos == idx[2]) & cover).astype(jnp.float32) * w[2]
+                + ((pos == idx[3]) & cover).astype(jnp.float32) * w[3]
+            )
+            f = feat_ref[pl.ds(rs * W, wr * W), :]
+            return acc + jnp.dot(
+                sel.astype(f.dtype), f, preferred_element_type=jnp.float32
+            )
+
+        v = jax.lax.fori_loop(
+            0, n_win, win_body, jnp.zeros((blk, feat_ref.shape[1]),
+                                          jnp.float32)
         )
         vst_ref[pl.ds(t, 1)] = v.astype(vst_ref.dtype)[None]
         h, c, _ = _cell_fwd(v, h, c, wih_ref, whh_ref, b_ref, cd)
@@ -271,26 +295,53 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
         gh = jnp.dot(dgates.astype(cd), whhT_ref[...],
                      preferred_element_type=jnp.float32)
 
-        # gather backward: d-latent contraction + d-grid via masked P
+        # gather backward: windowed d-latent contraction + masked P per
+        # window (same window math as the forward)
         gx, gy = _project(proj_ref, b_idx, cx, cy, cz)
         idx, w, wx, wy = _taps(gx, gy, H, W)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (blk, HW), 1)
-        m = [(pos == ix) for ix in idx]
-        sel = (
-            m[0].astype(jnp.float32) * w[0] + m[1].astype(jnp.float32) * w[1]
-            + m[2].astype(jnp.float32) * w[2] + m[3].astype(jnp.float32) * w[3]
-        )
-        dfeat_ref[...] += jax.lax.dot_general(
-            sel.astype(cd), dv.astype(cd),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        P = jax.lax.dot_general(
-            dv.astype(cd), feat_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (blk, HW)
-        gf = [jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True) for mm in m]
+        wr = min(16, H)
+        y0i = idx[0][:, 0] // W
+        y1i = idx[2][:, 0] // W
+        lo = jnp.min(y0i)
+        hi = jnp.max(y1i)
+        n_win = (hi - lo) // wr + 1
+        start = jnp.maximum(jnp.minimum(lo, H - n_win * wr), 0)
+        dvc = dv.astype(cd)
+
+        def win_body(wi, gf):
+            rs_cover = start + wi * wr
+            rs = jnp.minimum(rs_cover, H - wr)
+            pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (blk, wr * W), 1)
+                + rs * W
+            )
+            cover = pos >= rs_cover * W
+            m = [(pos == ix) & cover for ix in idx]
+            sel = (
+                m[0].astype(jnp.float32) * w[0]
+                + m[1].astype(jnp.float32) * w[1]
+                + m[2].astype(jnp.float32) * w[2]
+                + m[3].astype(jnp.float32) * w[3]
+            )
+            f = feat_ref[pl.ds(rs * W, wr * W), :]
+            dfeat_ref[pl.ds(rs * W, wr * W), :] += jax.lax.dot_general(
+                sel.astype(cd), dvc,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            P = jax.lax.dot_general(
+                dvc, f,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (blk, wr * W)
+            return tuple(
+                gf_t
+                + jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True)
+                for gf_t, mm in zip(gf, m)
+            )
+
+        zero = jnp.zeros((blk, 1), jnp.float32)
+        gf = jax.lax.fori_loop(0, n_win, win_body, (zero, zero, zero, zero))
         d_wx = (gf[1] - gf[0]) * (1.0 - wy) + (gf[3] - gf[2]) * wy
         d_wy = (gf[2] - gf[0]) * (1.0 - wx) + (gf[3] - gf[1]) * wx
         x_un = (gx[:, None] + 1.0) * 0.5 * (W - 1)
