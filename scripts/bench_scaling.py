@@ -31,7 +31,8 @@ def main(max_devices=None):
     from avr_tpu.config import parse_conf
     from avr_tpu.models.pixelnerf import ModelConfig
     from avr_tpu.models.wrapper import RadFieldRenderer
-    from avr_tpu.parallel import make_mesh, make_sharded_train_step, shard_train_inputs
+    from avr_tpu.parallel import (make_mesh, make_sharded_train_step,
+                                  make_shardmap_train_step, shard_train_inputs)
     from avr_tpu.renderers.base import AdaptiveRendererConfig
     from avr_tpu.training import LossParams, create_train_state
 
@@ -83,7 +84,13 @@ def main(max_devices=None):
     for n in sizes:
         mesh = make_mesh((1, n), devices=jax.devices()[:n])
         state = create_train_state(variables, tx)
-        step = make_sharded_train_step(
+        # SCALE_STEP=shardmap exercises the Pallas-safe production path
+        make_step = (
+            make_shardmap_train_step
+            if os.environ.get("SCALE_STEP", "gspmd") == "shardmap"
+            else make_sharded_train_step
+        )
+        step = make_step(
             model, tx, LossParams(loss_mode="both"), mesh, donate=False
         )
         args = shard_train_inputs(mesh, images, poses, focal, c, mi, gt)
