@@ -131,7 +131,6 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
                 b_ref, wout_ref, bout_ref,
                 out_ref, vst_ref, aux_ref,
                 *, steps, H, W, hidden, cd):
-    HW = feat_ref.shape[0]
     cx, cy, cz = _xyz(coords_ref[...])
     rx, ry, rz = _xyz(rds_ref[...])
     blk = cx.shape[0]
@@ -209,7 +208,6 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
                 dcoords_ref, drds_ref, dfeat_ref, dwih_ref, dwhh_ref, db_ref,
                 dwout_ref, dbout_ref,
                 *, steps, H, W, hidden, grad_clamp, cd):
-    HW = feat_ref.shape[0]
     b_idx = pl.program_id(0)
     i_idx = pl.program_id(1)
 
