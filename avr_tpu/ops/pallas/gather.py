@@ -261,7 +261,7 @@ gather_bilinear.defvjp(_fwd, _bwd)
 # are identical to the full-map kernel for every input.
 # ---------------------------------------------------------------------------
 
-_WIN_ROWS = 16  # rows per window; windows per block <= H / _WIN_ROWS
+_WIN_ROWS = 8  # rows per window; windows per block <= H / _WIN_ROWS
 
 
 def _block_windows(coords, H, W, blk, wr):
