@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_bilinear", "gather_bilinear_windowed"]
 
-_BLK = int(__import__('os').environ.get('AVR_GATHER_BLK', 512))  # query points per grid step (bounds the selector's VMEM use)
+_BLK = 512  # query points per grid step (bounds the selector's VMEM use)
 
 
 def _taps(xy, H: int, W: int):
