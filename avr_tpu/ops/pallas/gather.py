@@ -45,6 +45,14 @@ __all__ = ["gather_bilinear", "gather_bilinear_windowed"]
 
 _BLK = 512  # query points per grid step (bounds the selector's VMEM use)
 
+def _mxu_precision(dtype):
+    """f32 operands need HIGHEST (3-pass bf16) on the MXU: Mosaic's default
+    single-pass runs f32 matmuls at bf16 precision (~1e-2 rel error, found
+    by scripts/verify_kernels_tpu.py).  bf16 operands keep the default."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 
 def _taps(xy, H: int, W: int):
     """Shared fwd/bwd tap math: flat indices + interpolation weights."""
@@ -86,6 +94,7 @@ def _fwd_kernel(coords_ref, feat_ref, out_ref, *, H: int, W: int):
     out = jnp.dot(
         sel.astype(feat_ref.dtype), feat_ref[...],
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(feat_ref.dtype),
     )
     out_ref[...] = out.astype(out_ref.dtype)
 
@@ -115,6 +124,7 @@ def _bwd_kernel(coords_ref, feat_ref, g_ref, dfeat_ref, dcoords_ref,
         sel.astype(feat_ref.dtype), g.astype(feat_ref.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(feat_ref.dtype),
     )  # (HW, C)
     dfeat_ref[...] += contrib
 
@@ -123,6 +133,7 @@ def _bwd_kernel(coords_ref, feat_ref, g_ref, dfeat_ref, dcoords_ref,
         g.astype(feat_ref.dtype), feat_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(feat_ref.dtype),
     )  # (BLK, HW)
     gf = [jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True) for mm in m]
     d_wx = (gf[1] - gf[0]) * (1.0 - wy) + (gf[3] - gf[2]) * wy
@@ -315,7 +326,8 @@ def _wfwd_kernel(ws_ref, nw_ref, coords_ref, feat_ref, out_ref, *, H, W, wr):
         sel, _, _, _, _ = _win_selector(xy, rs, rs_cover, H, W, blk, wr)
         f = feat_ref[pl.ds(rs * W, WIN), :]
         return acc + jnp.dot(
-            sel.astype(f.dtype), f, preferred_element_type=jnp.float32
+            sel.astype(f.dtype), f, preferred_element_type=jnp.float32,
+            precision=_mxu_precision(f.dtype),
         )
 
     acc = jax.lax.fori_loop(
@@ -350,11 +362,13 @@ def _wbwd_kernel(ws_ref, nw_ref, coords_ref, feat_ref, g_ref,
             sel.astype(f.dtype), g.astype(f.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(f.dtype),
         )
         P = jax.lax.dot_general(
             g.astype(f.dtype), f,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(f.dtype),
         )  # (blk, WIN)
         return tuple(
             gf_t + jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True)

@@ -52,6 +52,13 @@ __all__ = ["fused_lstm_march", "pack_projection"]
 _BLK = 512  # rays per grid step
 
 
+def _mxu_precision(dtype):
+    """f32 operands need HIGHEST (3-pass bf16) on the MXU: Mosaic's default
+    single-pass runs f32 matmuls at bf16 precision (~1e-2 rel error)."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else None)
+
+
 def pack_projection(poses_w2c, focal, c, latent_scaling, image_shape):
     """Pack per-scene projection scalars into a ``(SB, 16)`` fp32 array.
 
@@ -104,9 +111,12 @@ def _taps(gx, gy, H: int, W: int):
 
 def _cell_fwd(v, h, c, wih_ref, whh_ref, b_ref, cd):
     """One LSTM step (gate order i, f, g, o like torch's LSTMCell)."""
+    prec = _mxu_precision(cd)
     gates = (
-        jnp.dot(v.astype(cd), wih_ref[...], preferred_element_type=jnp.float32)
-        + jnp.dot(h.astype(cd), whh_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(v.astype(cd), wih_ref[...],
+                preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(h.astype(cd), whh_ref[...],
+                  preferred_element_type=jnp.float32, precision=prec)
         + b_ref[...].astype(jnp.float32)
     )
     Hh = whh_ref.shape[0]
@@ -180,7 +190,8 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
             )
             f = feat_ref[pl.ds(rs * W, wr * W), :]
             return acc + jnp.dot(
-                sel.astype(f.dtype), f, preferred_element_type=jnp.float32
+                sel.astype(f.dtype), f, preferred_element_type=jnp.float32,
+                precision=_mxu_precision(f.dtype),
             )
 
         v = jax.lax.fori_loop(
@@ -191,7 +202,8 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
         h, c, _ = _cell_fwd(v, h, c, wih_ref, whh_ref, b_ref, cd)
         s = (
             jnp.dot(h.astype(cd), wout_ref[...],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(cd))
             + bout_ref[...].astype(jnp.float32)
         )[:, 0]
         return (cx + rx * s, cy + ry * s, cz + rz * s, h, c)
@@ -231,6 +243,7 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
             a.astype(cd), g.astype(cd),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cd),
         )
 
     gcx, gcy, gcz = _xyz(g_ref[...].astype(jnp.float32))
@@ -258,7 +271,8 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
         )
         s = (
             jnp.dot(h_t.astype(cd), wout_ref[...],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(cd))
             + bout_ref[...].astype(jnp.float32)
         )[:, 0]
 
@@ -289,9 +303,11 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
         dwhh_ref[...] += wgrad(h_prev, dgates)
         db_ref[...] += jnp.sum(dgates, axis=0, keepdims=True)
         dv = jnp.dot(dgates.astype(cd), wihT_ref[...],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_mxu_precision(cd))
         gh = jnp.dot(dgates.astype(cd), whhT_ref[...],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_mxu_precision(cd))
 
         # gather backward: windowed d-latent contraction + masked P per
         # window (same window math as the forward)
@@ -326,11 +342,13 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
                 sel.astype(cd), dvc,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mxu_precision(cd),
             )
             P = jax.lax.dot_general(
                 dvc, f,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mxu_precision(cd),
             )  # (blk, wr * W)
             return tuple(
                 gf_t

@@ -1,0 +1,175 @@
+"""On-device kernel parity: compiled Mosaic kernels vs jnp references.
+
+The test suite pins every Pallas kernel against jnp/torch math in
+*interpreter* mode (CPU).  This script closes the remaining gap — that the
+compiled Mosaic lowering behaves like the interpreter — by running each
+kernel on the real chip at production-like shapes and comparing values and
+gradients against the pure-jnp implementations.
+
+Usage: python scripts/verify_kernels_tpu.py   (prints PASS/FAIL per check)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _check(name, got, want, rtol, atol):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    err = np.max(np.abs(got - want) / (np.abs(want) + atol / rtol))
+    ok = np.allclose(got, want, rtol=rtol, atol=atol)
+    print(f"{'PASS' if ok else 'FAIL'}  {name:42s} max_rel_err={err:.2e}")
+    return ok
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from avr_tpu.ops.grid_sample import grid_sample_2d
+    from avr_tpu.ops.pallas.gather import (
+        gather_bilinear, gather_bilinear_windowed,
+    )
+
+    rng = np.random.default_rng(0)
+    ok = True
+
+    # ---- gathers (f32 on device so the jnp reference is the exact oracle)
+    B, H, W, C, N = 4, 64, 64, 512, 86016
+    feats = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.2, 1.2, size=(B, N, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    for name, fn in (("gather_bilinear", gather_bilinear),
+                     ("gather_bilinear_windowed", gather_bilinear_windowed)):
+        out = jax.jit(fn)(feats, coords)
+        ref = grid_sample_2d(feats, coords)
+        ok &= _check(f"{name} fwd", out, ref, 1e-4, 1e-4)
+
+        gk = jax.jit(jax.grad(
+            lambda f, c, ct: jnp.sum(fn(f, c) * ct), argnums=(0, 1)
+        ))(feats, coords, cot)
+        gr = jax.jit(jax.grad(
+            lambda f, c, ct: jnp.sum(grid_sample_2d(f, c) * ct),
+            argnums=(0, 1),
+        ))(feats, coords, cot)
+        ok &= _check(f"{name} d-feats", gk[0], gr[0], 5e-3, 1e-2)
+        ok &= _check(f"{name} d-coords", gk[1], gr[1], 5e-3, 1e-1)
+
+    # ---- fused decoder
+    from avr_tpu.models.mlp import ResnetFC
+
+    Nd, D_IN, D_L, D_H = 86016, 42, 512, 512
+    x = jnp.asarray(rng.normal(size=(1, 1, Nd, D_IN)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(1, 1, Nd, D_L)).astype(np.float32))
+    outs, grads = [], []
+    for fused in ("never", "always"):
+        mod = ResnetFC(d_in=D_IN, d_out=4, n_blocks=5, d_latent=D_L,
+                       d_hidden=D_H, combine_layer=1000, fused=fused,
+                       dtype=jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(0), x, z)
+
+        def loss(p, x, z):
+            return jnp.sum(mod.apply(p, x, z) ** 2)
+
+        outs.append(jax.jit(mod.apply)(params, x, z))
+        grads.append(jax.jit(jax.grad(loss, argnums=(0,)))(params, x, z)[0])
+    # values: two bf16 implementations of the same math agree closely
+    ok &= _check("fused decoder fwd (vs Flax bf16)", outs[1], outs[0],
+                 5e-2, 5e-2)
+    # grads: the fused kernel carries an fp32 trunk, the Flax path a bf16
+    # one — per-layer cotangents legitimately diverge beyond elementwise
+    # tolerances through 13 bf16 matmuls.  Compare direction instead
+    # (exactness is pinned at f32 in tests/test_pallas_resnetfc.py).
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(grads[1]), jax.tree.leaves(grads[0])
+    ):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-12 and nb < 1e-12:
+            continue  # e.g. fc_0 grads: exactly zero through zero-init fc_1
+        cos = float(a @ b / (na * nb + 1e-30))
+        if cos < 0.98:
+            print(f"FAIL  decoder grad cos={cos:.4f} {jax.tree_util.keystr(path)}")
+            ok = False
+    print("PASS  fused decoder grads (cosine >= 0.98 vs Flax bf16)")
+
+    # ---- fused march (f32 compute so the jnp reference is exact-ish).
+    # Checked at 2 steps: the march is a chaotic recurrence (LSTM + discrete
+    # bilinear tap boundaries), so ~1e-7 per-step differences between the
+    # kernel's and XLA's transcendental approximations amplify exponentially
+    # with step count (measured: exact at 1 step, ~1e-4 max at 3, O(1) for a
+    # third of rays at 10 on a random feature field).  Both evaluations are
+    # correct within the model's own sensitivity; 2 steps verifies the
+    # compiled lowering itself.
+    from avr_tpu.ops.pallas.march import fused_lstm_march, pack_projection
+    from avr_tpu.renderers.lstm import clamp_grad
+
+    Br, R, HID, STEPS = 4, 4096, 16, 2
+    poses = np.broadcast_to(
+        np.concatenate([np.eye(3, dtype=np.float32),
+                        np.array([[0.0], [0.0], [1.3]], np.float32)], 1),
+        (Br, 3, 4)).copy()
+    focal = jnp.asarray([[140.0, -140.0]], np.float32)
+    cpt = jnp.asarray([[64.0, 64.0]], np.float32)
+    ls = jnp.asarray([2.0, 2.0], jnp.float32)
+    ish = jnp.asarray([128.0, 128.0], jnp.float32)
+    proj = pack_projection(jnp.asarray(poses), focal, cpt, ls, ish)
+    featm = feats  # reuse (4, 64, 64, 512)
+    rds = rng.normal(size=(Br, R, 3)).astype(np.float32)
+    rds[..., 2] = np.abs(rds[..., 2]) + 1.0
+    rds = jnp.asarray(rds / np.linalg.norm(rds, axis=-1, keepdims=True))
+    coords0 = rds * jnp.asarray(
+        rng.normal(0.8, 0.05, (Br, R, 1)).astype(np.float32))
+    wih = jnp.asarray(rng.normal(scale=0.05, size=(C, 4 * HID)).astype(np.float32))
+    whh = jnp.asarray(rng.normal(scale=0.3, size=(HID, 4 * HID)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(scale=0.1, size=(4 * HID,)).astype(np.float32))
+    wout = jnp.asarray(rng.normal(scale=0.5, size=(HID, 1)).astype(np.float32))
+    bout = jnp.asarray([0.01], np.float32)
+
+    got = jax.jit(lambda *a: fused_lstm_march(
+        *a, steps=STEPS, grad_clamp=10.0, compute_dtype=jnp.float32,
+    ))(proj, coords0, rds, featm, wih, whh, bias, wout, bout)
+
+    Rm = jnp.asarray(poses)[:, :3, :3]
+    t = jnp.asarray(poses)[:, :3, 3]
+    scale = ls / ish
+    fg = jnp.broadcast_to(focal, (Br, 2)) * scale[None, :]
+    cg = jnp.broadcast_to(cpt, (Br, 2)) * scale[None, :] - 1.0
+
+    def ref_march(coords0):
+        # precision="highest" everywhere: XLA's default f32 matmul precision
+        # on TPU is a bf16 pass, which perturbs tap indices and makes the
+        # *reference* the imprecise side
+        h = jnp.zeros((Br, R, HID), jnp.float32)
+        cc = jnp.zeros((Br, R, HID), jnp.float32)
+        coords = coords0
+        for _ in range(STEPS):
+            cam = jnp.einsum("bij,bnj->bni", Rm, coords,
+                             precision="highest") + t[:, None, :]
+            g = -cam[..., :2] / cam[..., 2:3] * fg[:, None, :] + cg[:, None, :]
+            v = grid_sample_2d(featm, g)
+            gates = (jnp.dot(v, wih, precision="highest")
+                     + jnp.dot(h, whh, precision="highest") + bias)
+            i, f, gg, o = jnp.split(gates, 4, axis=-1)
+            cc = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(gg)
+            h = jax.nn.sigmoid(o) * jnp.tanh(cc)
+            h = clamp_grad(h, 10.0)
+            coords = coords + rds * (
+                jnp.dot(h, wout, precision="highest") + bout)
+        return coords
+
+    want = jax.jit(ref_march)(coords0)
+    ok &= _check("fused march fwd (f32, 2 steps)", got, want, 1e-3, 1e-4)
+
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
