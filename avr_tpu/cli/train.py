@@ -59,6 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native additions
     p.add_argument("--mesh", type=str, default=None,
                    help="Mesh shape 'data,rays' e.g. '2,4'; default single-program")
+    p.add_argument("--step_impl", type=str, default="shardmap",
+                   choices=["shardmap", "gspmd"],
+                   help="Mesh step flavour: shard_map with explicit pmean "
+                        "(Pallas-safe, default) or GSPMD jit shardings")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize the multi-host runtime "
+                        "(jax.distributed) and shard instances per host")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="Host input batches assembled ahead on a worker "
+                        "thread; 0 = synchronous")
     p.add_argument("--num_source_views", type=int, default=1)
     p.add_argument("--norm_type", type=str, default="batch",
                    choices=["batch", "group", "instance", "none"],
@@ -90,6 +100,11 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
     jax.config.update("jax_default_prng_impl", opt.prng_impl)
 
+    from avr_tpu.parallel import multihost
+
+    if opt.multihost:
+        multihost.initialize()
+
     from avr_tpu.config import parse_conf
     from avr_tpu.data.dataset import SceneClassDataset
     from avr_tpu.models.pixelnerf import ModelConfig
@@ -120,11 +135,22 @@ def main(argv=None):
     dtype = _jnp.bfloat16 if opt.dtype == "bf16" else _jnp.float32
     model = RadFieldRenderer(model_cfg=model_cfg, renderer_cfg=renderer_cfg, dtype=dtype)
 
+    mesh = None
+    if opt.mesh:
+        from avr_tpu.parallel import make_mesh
+
+        shape = tuple(int(x) for x in opt.mesh.split(","))
+        if len(shape) != 2:
+            raise SystemExit(f"--mesh wants 'data,rays', got {opt.mesh!r}")
+        mesh = make_mesh(shape)
+
     train_path = opt.data or os.path.join(opt.root_dir, "data", "cars_train.hdf5")
     val_path = opt.val_data or os.path.join(opt.root_dir, "data", "cars_val.hdf5")
     train_dset = SceneClassDataset(
         train_path, img_sidelength=opt.sl, max_num_instances=opt.max_num_instances,
         samples_per_instance=opt.samples_per_instance, seed=opt.seed,
+        shard_index=multihost.process_index(),
+        num_shards=multihost.process_count(),
     )
     val_dset = None
     if os.path.exists(val_path):
@@ -161,7 +187,8 @@ def main(argv=None):
         steps_print=opt.steps_print, steps_val=opt.steps_val,
         epochs_save=opt.epochs_save, starting_epoch=opt.starting_epoch,
         num_source_views=opt.num_source_views, save_root=opt.root_dir,
-        run_name=opt.renderer, seed=opt.seed,
+        run_name=opt.renderer, seed=opt.seed, step_impl=opt.step_impl,
+        prefetch=opt.prefetch,
     )
     loss_params = LossParams(
         loss_mode=opt.loss_mode, depth_regularization=opt.depth_regularization
@@ -186,7 +213,8 @@ def main(argv=None):
 
     with trace_cm:
         state, mean_losses = fit(
-            model, state, tx, train_dset, val_dset, loss_params, fit_cfg, logger
+            model, state, tx, train_dset, val_dset, loss_params, fit_cfg, logger,
+            mesh=mesh,
         )
     os.makedirs(os.path.join(opt.root_dir, "logs"), exist_ok=True)
     plot_losses(

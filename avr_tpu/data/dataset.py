@@ -185,6 +185,8 @@ class SceneClassDataset:
         self.f = h5py.File(filename, "r")
         self.samples_per_instance = samples_per_instance
         self.specific_observation_idcs = specific_observation_idcs
+        self.seed = seed
+        self.shard_index = shard_index
         self.rng = np.random.default_rng(seed + shard_index)
 
         keys = sorted(self.f.keys())
@@ -214,8 +216,13 @@ class SceneClassDataset:
         return self.num_instances
 
     def __getitem__(self, obj_idx: int) -> List[Dict[str, np.ndarray]]:
+        return self._observations(obj_idx, self.rng)
+
+    def _observations(
+        self, obj_idx: int, rng: np.random.Generator
+    ) -> List[Dict[str, np.ndarray]]:
         inst = self.all_instances[obj_idx]
-        order = self.rng.permutation(len(inst))
+        order = rng.permutation(len(inst))
         obs = [inst[order[i % len(inst)]] for i in range(self.samples_per_instance)]
         if self.specific_observation_idcs is not None:
             for i, s in enumerate(self.specific_observation_idcs):
@@ -223,16 +230,51 @@ class SceneClassDataset:
         return obs
 
     def batches(
-        self, batch_size: int, shuffle: bool = True, drop_last: bool = True
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        epoch_seed: Optional[int] = None,
+        skip: int = 0,
     ):
-        """Yield collated ``(SB, NV, ...)`` dict batches over the epoch."""
+        """Yield collated ``(SB, NV, ...)`` dict batches over the epoch.
+
+        With ``epoch_seed`` given, the epoch is fully deterministic: the
+        instance order derives from ``(dataset seed, shard, epoch_seed)``
+        and each instance's view selection from
+        ``(dataset seed, epoch_seed, instance index)`` — independent of
+        iteration position, so resuming with ``skip=k`` reproduces batches
+        ``k, k+1, ...`` bitwise without loading the skipped ones (the
+        deterministic resume contract, SURVEY.md §5 failure row).
+        """
+        if epoch_seed is not None:
+            order_rng = np.random.default_rng(
+                np.random.SeedSequence((self.seed, self.shard_index, epoch_seed))
+            )
+        else:
+            order_rng = self.rng
         order = (
-            self.rng.permutation(self.num_instances)
+            order_rng.permutation(self.num_instances)
             if shuffle
             else np.arange(self.num_instances)
         )
-        for start in range(0, len(order), batch_size):
+
+        def item(i):
+            if epoch_seed is None:
+                return self._observations(int(i), self.rng)
+            item_rng = np.random.default_rng(
+                np.random.SeedSequence((self.seed, epoch_seed, int(i)))
+            )
+            return self._observations(int(i), item_rng)
+
+        for bi, start in enumerate(range(0, len(order), batch_size)):
             idxs = order[start : start + batch_size]
             if drop_last and len(idxs) < batch_size:
                 return
-            yield collate_observations([self[i] for i in idxs])
+            if bi < skip:
+                if epoch_seed is None:
+                    # legacy stream: keep RNG consumption identical
+                    for i in idxs:
+                        item(i)
+                continue
+            yield collate_observations([item(i) for i in idxs])

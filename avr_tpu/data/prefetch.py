@@ -4,13 +4,20 @@ Overlaps host-side batch assembly (HDF5 reads, ray-index sampling, numpy
 gathers — all of which release the GIL) with device execution, so the TPU
 never waits on the host between optimizer steps.  The reference's
 DataLoader-based pipeline has no TPU analogue; this is the framework's
-input-pipeline component (SURVEY.md §2b "per-host input pipeline").
+input-pipeline component (SURVEY.md §2b "per-host input pipeline"), and it
+is what ``fit`` uses by default (``FitConfig.prefetch``).
+
+Determinism: each step's assembly RNG derives from ``(seed, global step)``
+and the epoch's data order from the dataset's ``epoch_seed`` mechanism, so
+the prefetched stream is bitwise identical to the synchronous one and to a
+resumed run (deterministic-resume contract).
 
 Usage::
 
     pipe = PrefetchPipeline(dset, batch_size=4, ray_batch_size=512,
                             num_source_views=1, with_bbox=False, depth=2)
-    for src_images, src_poses, focal, c, model_input, gt in pipe.epoch():
+    for gstep, (src_images, src_poses, focal, c, model_input, gt) in \
+            pipe.epoch(epoch_seed=0, start_step=0):
         state, metrics = train_step(state, ...)
 """
 
@@ -23,7 +30,6 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 from avr_tpu.data.dataset import SceneClassDataset
-from avr_tpu.data.sampling import gather_rays
 
 __all__ = ["PrefetchPipeline"]
 
@@ -47,27 +53,42 @@ class PrefetchPipeline:
         self.num_source_views = num_source_views
         self.with_bbox = with_bbox
         self.depth = depth
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
-    def _assemble(self, batch):
-        from avr_tpu.training.loop import select_source_views
+    def _assemble(self, batch, gstep: int):
+        from avr_tpu.training.loop import assemble_step_inputs, step_rng
 
-        src = select_source_views(self.rng, batch, self.num_source_views)
-        model_input, gt = gather_rays(
-            self.rng, batch, self.ray_batch_size, with_bbox=self.with_bbox
+        return assemble_step_inputs(
+            step_rng(self.seed, gstep), batch, self.ray_batch_size,
+            self.num_source_views, self.with_bbox,
         )
-        return (*src, model_input, gt)
 
-    def epoch(self, shuffle: bool = True) -> Iterator[Tuple]:
-        """Yield fully assembled train-step inputs for one epoch,
-        prefetched ``depth`` batches ahead on a worker thread."""
+    def epoch(
+        self,
+        epoch_seed: Optional[int] = None,
+        start_step: int = 0,
+        skip: int = 0,
+        shuffle: bool = True,
+    ) -> Iterator[Tuple[int, Tuple]]:
+        """Yield ``(global_step, train-step inputs)`` for one epoch,
+        prefetched ``depth`` batches ahead on a worker thread.
+
+        ``start_step`` is the epoch's first global step; the first yielded
+        batch is epoch batch ``skip`` (global step ``start_step + skip``).
+        """
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         err: list = []
 
         def worker():
             try:
-                for batch in self.dset.batches(self.batch_size, shuffle=shuffle):
-                    q.put(self._assemble(batch))
+                for i, batch in enumerate(
+                    self.dset.batches(
+                        self.batch_size, shuffle=shuffle,
+                        epoch_seed=epoch_seed, skip=skip,
+                    )
+                ):
+                    gstep = start_step + skip + i
+                    q.put((gstep, self._assemble(batch, gstep)))
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:

@@ -37,11 +37,20 @@ def test_approximate(
     max_instances: Optional[int] = None,
 ) -> Dict[str, float]:
     """Mean PSNR/SSIM/(LPIPS)/loss over the test split (reference test.py:4-75)."""
+    import dataclasses
+
     encode_fn = make_encode_fn(model)
     render_fn = make_render_fn(model)
     variables = state.variables()
     rng = np.random.default_rng(seed)
     fine = loss_params.loss_mode != "coarse"
+    # The raymarcher renders no fine image (reference renderers.py:351);
+    # evaluate it coarse-only instead of crashing on the None.
+    from avr_tpu.renderers.base import RaymarcherConfig
+
+    if isinstance(getattr(model, "renderer_cfg", None), RaymarcherConfig) and fine:
+        fine = False
+        loss_params = dataclasses.replace(loss_params, loss_mode="coarse")
 
     lpips = None
     if lpips_weights is not None:
@@ -74,7 +83,8 @@ def test_approximate(
         ssims.append(s)
         losses.append(float(loss_fn(out, jnp.asarray(gt), loss_params)))
         if lpips is not None:
-            pred = np.asarray(out[1] if fine else out[0]).reshape(1, sl, sl, 3)
+            rgb = out.rgb_fine if (fine and out.rgb_fine is not None) else out.rgb_coarse
+            pred = np.asarray(rgb).reshape(1, sl, sl, 3)
             gti = gt.reshape(1, sl, sl, 3)
             lpipss.append(float(lpips(pred * 2 - 1, gti * 2 - 1)[0]))
         count += 1

@@ -4,21 +4,36 @@ Counterpart of the reference ``fit`` (``/root/reference/train.py:13-173``):
 per step pick a random source view per scene, encode, sample a ray batch
 (uniform or foreground-bbox), one fused optimizer step; periodic loss
 prints, full-image validation renders with PSNR/SSIM, epoch-tagged
-checkpoints.  Host-side work (data, ray index sampling) stays numpy; the
-step itself is one jitted XLA program (``avr_tpu.training.step``).
+checkpoints.
+
+TPU-native driver design (beyond the reference):
+
+  * **Mesh training from the driver**: pass a ``(data, rays)``
+    ``jax.sharding.Mesh`` and the loop runs the shard_map train step
+    (Pallas-safe; explicit ``pmean`` gradient sync over ICI) with every
+    step's inputs device_put with the sharding plan.  Metrics are averaged
+    across hosts and params stay bitwise replicated.
+  * **Prefetched input pipeline**: host-side batch assembly (HDF5 reads,
+    ray gathers) runs ``cfg.prefetch`` steps ahead on a worker thread so
+    the TPU never waits on the host.
+  * **Deterministic resume**: all per-step randomness derives from
+    ``(seed, global step)`` and each epoch's data order from
+    ``(seed, epoch index)``; restoring a checkpoint (whose TrainState
+    carries the step counter) and skipping to that step reproduces the
+    original run bitwise.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from avr_tpu.data.dataset import SceneClassDataset
+from avr_tpu.data.dataset import SceneClassDataset, pixel_grid
 from avr_tpu.data.sampling import gather_rays
 from avr_tpu.training.checkpoint import save_checkpoint
 from avr_tpu.training.loss import LossParams, loss_fn
@@ -26,9 +41,15 @@ from avr_tpu.training.state import TrainState
 from avr_tpu.training.step import make_encode_fn, make_render_fn, make_train_step
 from avr_tpu.utils.logging import MetricsLogger
 from avr_tpu.utils.metrics import get_metrics
-from avr_tpu.data.dataset import pixel_grid
 
-__all__ = ["FitConfig", "fit", "render_full_image", "select_source_views"]
+__all__ = [
+    "FitConfig",
+    "fit",
+    "render_full_image",
+    "select_source_views",
+    "step_rng",
+    "assemble_step_inputs",
+]
 
 
 @dataclasses.dataclass
@@ -46,6 +67,16 @@ class FitConfig:
     save_root: Optional[str] = None
     run_name: str = "run"
     seed: int = 0
+    # mesh step flavour: 'shardmap' (Pallas-safe, explicit pmean — the
+    # production path) or 'gspmd' (jit with in/out shardings)
+    step_impl: str = "shardmap"
+    # host batches assembled ahead on a worker thread; 0 = synchronous
+    prefetch: int = 2
+
+
+def step_rng(seed: int, step: int) -> np.random.Generator:
+    """Host RNG for one global step, independent of execution history."""
+    return np.random.default_rng(np.random.SeedSequence((seed, step)))
 
 
 def select_source_views(
@@ -80,6 +111,22 @@ def select_source_views(
         jnp.asarray(focal),
         jnp.asarray(c),
     )
+
+
+def assemble_step_inputs(
+    rng: np.random.Generator,
+    batch: Dict[str, np.ndarray],
+    ray_batch_size: int,
+    num_source_views: int = 1,
+    with_bbox: bool = False,
+) -> Tuple:
+    """One train step's device inputs from a collated scene batch."""
+    src_images, src_poses, focal, c = select_source_views(
+        rng, batch, num_source_views
+    )
+    model_input, gt = gather_rays(rng, batch, ray_batch_size, with_bbox=with_bbox)
+    model_input = {k: jnp.asarray(v) for k, v in model_input.items()}
+    return src_images, src_poses, focal, c, model_input, jnp.asarray(gt)
 
 
 def render_full_image(
@@ -122,6 +169,23 @@ def render_full_image(
     )
 
 
+def _epoch_inputs(
+    train_dset: SceneClassDataset, cfg: FitConfig, epoch_idx: int,
+    start_step: int, skip: int,
+):
+    """Synchronous (step, inputs) stream for one epoch."""
+    for i, batch in enumerate(
+        train_dset.batches(
+            cfg.batch_size, shuffle=True, epoch_seed=epoch_idx, skip=skip
+        )
+    ):
+        gstep = start_step + i
+        yield gstep, assemble_step_inputs(
+            step_rng(cfg.seed, gstep), batch, cfg.ray_batch_size,
+            cfg.num_source_views, cfg.with_bbox,
+        )
+
+
 def fit(
     model,
     state: TrainState,
@@ -131,53 +195,107 @@ def fit(
     loss_params: LossParams,
     cfg: FitConfig,
     logger: Optional[MetricsLogger] = None,
+    mesh=None,
 ):
-    """Train; returns (state, mean epoch losses)."""
-    logger = logger or MetricsLogger()
-    rng = np.random.default_rng(cfg.seed)
-    key = jax.random.PRNGKey(cfg.seed)
+    """Train; returns (state, mean epoch losses).
 
-    train_step = make_train_step(model, tx, loss_params)
+    With ``mesh`` (a ``(data, rays)`` ``jax.sharding.Mesh``) the loop runs
+    the sharded train step: scenes over ``data``, rays over ``rays``,
+    params replicated, gradient all-reduce over ICI.  ``cfg.step_impl``
+    picks shard_map (default, Pallas-safe) or GSPMD.
+    """
+    from avr_tpu.data.prefetch import PrefetchPipeline
+    from avr_tpu.parallel import multihost
+
+    logger = logger or MetricsLogger()
+    base_key = jax.random.PRNGKey(cfg.seed)
+
+    if mesh is not None:
+        from avr_tpu.parallel.mesh import replicated, shard_train_inputs
+        from avr_tpu.parallel.sharded_step import (
+            make_sharded_train_step, make_shardmap_train_step,
+        )
+
+        data_dim = mesh.shape["data"]
+        rays_dim = mesh.shape["rays"]
+        if cfg.batch_size % data_dim:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by the mesh "
+                f"data axis ({data_dim})"
+            )
+        if cfg.ray_batch_size % rays_dim:
+            raise ValueError(
+                f"ray_batch_size {cfg.ray_batch_size} not divisible by the "
+                f"mesh rays axis ({rays_dim})"
+            )
+        maker = (
+            make_sharded_train_step
+            if cfg.step_impl == "gspmd"
+            else make_shardmap_train_step
+        )
+        train_step = maker(model, tx, loss_params, mesh)
+        state = jax.device_put(state, replicated(mesh))
+    else:
+        train_step = make_train_step(model, tx, loss_params)
     render_fn = make_render_fn(model)
     encode_fn = make_encode_fn(model)
 
-    fine = loss_params.loss_mode != "coarse"
+    spe = max(train_dset.num_instances // cfg.batch_size, 1)  # steps/epoch
+    start_step = int(state.step)
+    epoch_idx0 = start_step // spe
+    primary = multihost.is_primary()
+
     mean_losses = []
-    epoch = cfg.starting_epoch
-    step = 0
+    step = start_step
     t_last = time.time()
     rays_done = 0
 
-    for _ in range(cfg.epochs):
-        epoch += 1
+    for epoch_idx in range(epoch_idx0, epoch_idx0 + cfg.epochs):
+        epoch = epoch_idx + 1
+        epoch_start = epoch_idx * spe
+        skip = step - epoch_start  # mid-epoch resume skip (0 normally)
         losses = []
-        for batch in train_dset.batches(cfg.batch_size, shuffle=True):
-            src_images, src_poses, focal, c = select_source_views(
-                rng, batch, cfg.num_source_views
+
+        if cfg.prefetch > 0:
+            pipe = PrefetchPipeline(
+                train_dset, cfg.batch_size, cfg.ray_batch_size,
+                num_source_views=cfg.num_source_views, with_bbox=cfg.with_bbox,
+                depth=cfg.prefetch, seed=cfg.seed,
             )
-            model_input, gt = gather_rays(
-                rng, batch, cfg.ray_batch_size, with_bbox=cfg.with_bbox
-            )
-            key, sub = jax.random.split(key)
-            state, metrics = train_step(
-                state, src_images, src_poses, focal, c,
-                {k: jnp.asarray(v) for k, v in model_input.items()},
-                jnp.asarray(gt), sub,
-            )
-            step += 1
-            rays_done += gt.shape[0] * gt.shape[1]
+            stream = pipe.epoch(epoch_seed=epoch_idx, start_step=epoch_start,
+                                skip=skip)
+        else:
+            stream = _epoch_inputs(train_dset, cfg, epoch_idx, epoch_start + skip,
+                                   skip)
+
+        for gstep, inputs in stream:
+            src_images, src_poses, focal, c, model_input, gt = inputs
+            sub = jax.random.fold_in(base_key, gstep)
+            if mesh is not None:
+                args = shard_train_inputs(
+                    mesh, src_images, src_poses, focal, c, model_input, gt
+                )
+            else:
+                args = (src_images, src_poses, focal, c, model_input, gt)
+            state, metrics = train_step(state, *args, sub)
+            step = gstep + 1
+            rays_done += int(gt.shape[0]) * int(gt.shape[1])
 
             if step % cfg.steps_print == 0:
-                loss_val = float(metrics["loss"])
-                dt = time.time() - t_last
-                logger.log(
-                    "train", epoch=epoch, step=step, loss=loss_val,
-                    grad_norm=float(metrics["grad_norm"]),
-                    rays_per_s=rays_done / max(dt, 1e-9),
+                scal = multihost.gather_metrics(
+                    {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"]}
                 )
+                dt = time.time() - t_last
+                if primary:
+                    logger.log(
+                        "train", epoch=epoch, step=step, loss=scal["loss"],
+                        grad_norm=scal["grad_norm"],
+                        rays_per_s=rays_done * multihost.process_count()
+                        / max(dt, 1e-9),
+                    )
                 t_last = time.time()
                 rays_done = 0
-                losses.append(loss_val)
+                losses.append(scal["loss"])
 
             if val_dset is not None and step % cfg.steps_val == 0:
                 val_batch = next(val_dset.batches(1, shuffle=True))
@@ -185,16 +303,18 @@ def fit(
                     model, state, encode_fn, render_fn, val_batch, loss_params,
                     cfg.render_chunk,
                 )
-                logger.log(
-                    "val", epoch=epoch, step=step, loss=val_loss,
-                    psnr=psnr_v, ssim=ssim_v,
-                )
+                if primary:
+                    logger.log(
+                        "val", epoch=epoch, step=step, loss=val_loss,
+                        psnr=psnr_v, ssim=ssim_v,
+                    )
 
         if losses:
             mean_losses.append(float(np.mean(losses)))
         if cfg.save_root is not None and epoch % cfg.epochs_save == 0:
             path = save_checkpoint(cfg.save_root, cfg.run_name, epoch, state)
-            logger.log("checkpoint", epoch=epoch, path=path)
+            if primary:
+                logger.log("checkpoint", epoch=epoch, path=path)
 
     return state, mean_losses
 

@@ -26,23 +26,38 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 def main():
     import jax
+
+    # BENCH_PLATFORM=cpu for smoke tests: the environment's sitecustomize
+    # pins the axon TPU plugin, so the env var alone doesn't stick — the
+    # config update below does (same trick as tests/conftest.py).
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     import jax.numpy as jnp
     import optax
 
     from avr_tpu.config import parse_conf
     from avr_tpu.models.pixelnerf import ModelConfig
     from avr_tpu.models.wrapper import RadFieldRenderer
-    from avr_tpu.renderers.base import AdaptiveRendererConfig
+    from avr_tpu.renderers.base import (
+        AdaptiveRendererConfig, RaymarcherConfig, VolumeRendererConfig,
+    )
     from avr_tpu.training import LossParams, create_train_state, make_train_step
 
     # Workload: reference default train shapes (train.py:188-219) with the
     # ray batch scaled up to fill the chip (rays/s is per-ray normalized).
+    # BENCH_RENDERER selects the renderer at the reference's own budgets:
+    #   avr (default) - adaptive: 10 LSTM probes + 20 band samples
+    #   vr            - classic:  64 coarse + (16+16) fine (renderers.py:257-264)
+    #   raymarcher    - LSTM march only (coarse loss)
     SB = int(os.environ.get("BENCH_SB", 4))
-    NS = 1
+    NS = int(os.environ.get("BENCH_NS", 1))
     SIDE = int(os.environ.get("BENCH_SIDE", 128))
     R = int(os.environ.get("BENCH_RAYS", 4096))
     WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
     ITERS = int(os.environ.get("BENCH_ITERS", 10))
+    RENDERER = os.environ.get("BENCH_RENDERER", "avr")
 
     DTYPE = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
@@ -59,9 +74,18 @@ def main():
     gather = os.environ.get("BENCH_GATHER", "auto")
     fused = os.environ.get("BENCH_FUSED_MLP", "auto")
     model_cfg = dataclasses.replace(model_cfg, gather_impl=gather, fused_mlp=fused)
+    if RENDERER == "vr":
+        renderer_cfg = VolumeRendererConfig.from_conf(conf["normal_renderer"])
+        loss_mode = "both"
+    elif RENDERER == "raymarcher":
+        renderer_cfg = RaymarcherConfig.from_conf(conf["raymarcher"])
+        loss_mode = "coarse"
+    else:
+        renderer_cfg = AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"])
+        loss_mode = "both"
     model = RadFieldRenderer(
         model_cfg=model_cfg,
-        renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
+        renderer_cfg=renderer_cfg,
         dtype=DTYPE,
         remat_field=os.environ.get("BENCH_REMAT", "0") == "1",
         fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"),
@@ -88,7 +112,7 @@ def main():
     )
     tx = optax.adam(1e-4)
     state = create_train_state(variables, tx)
-    step = make_train_step(model, tx, LossParams(loss_mode="both"))
+    step = make_train_step(model, tx, LossParams(loss_mode=loss_mode))
 
     key = jax.random.PRNGKey(0)
     for i in range(WARMUP):
@@ -107,13 +131,23 @@ def main():
 
     rays_per_s = SB * R * ITERS / dt
 
+    names = {
+        "avr": "adaptive_render_train_rays_per_sec_per_chip",
+        "vr": "volume_render_train_rays_per_sec_per_chip",
+        "raymarcher": "raymarch_train_rays_per_sec_per_chip",
+    }
+    metric = names.get(RENDERER, names["avr"])
+    if NS > 1:
+        metric += f"_ns{NS}"
+
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     vs = 1.0
     if os.path.exists(base_path):
         try:
             with open(base_path) as f:
                 prev = json.load(f)
-            if prev.get("value"):
+            # only ratio against a baseline of the same metric
+            if prev.get("value") and prev.get("metric", metric) == metric:
                 vs = rays_per_s / float(prev["value"])
         except Exception:
             pass
@@ -121,7 +155,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "adaptive_render_train_rays_per_sec_per_chip",
+                "metric": metric,
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(vs, 4),

@@ -121,21 +121,55 @@ def h5path(tmp_path_factory):
 def test_prefetch_pipeline_yields_all_batches(h5path):
     dset = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=2)
     pipe = PrefetchPipeline(dset, batch_size=1, ray_batch_size=32)
-    items = list(pipe.epoch())
+    items = list(pipe.epoch(epoch_seed=0, start_step=7))
     assert len(items) == 3
-    src_images, src_poses, focal, c, model_input, gt = items[0]
+    assert [gstep for gstep, _ in items] == [7, 8, 9]
+    src_images, src_poses, focal, c, model_input, gt = items[0][1]
     assert src_images.shape == (1, 1, 32, 32, 3)
     assert model_input["x_pix"].shape == (1, 32, 2)
     assert gt.shape == (1, 32, 3)
+
+
+def test_prefetch_pipeline_matches_synchronous_assembly(h5path):
+    """The threaded stream must be bitwise identical to synchronous assembly
+    (deterministic per-step RNG from (seed, global step))."""
+    from avr_tpu.training.loop import assemble_step_inputs, step_rng
+
+    dset = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=2)
+    pipe = PrefetchPipeline(dset, batch_size=1, ray_batch_size=32, seed=3)
+    got = list(pipe.epoch(epoch_seed=5, start_step=10))
+
+    want_batches = list(dset.batches(1, shuffle=True, epoch_seed=5))
+    assert len(got) == len(want_batches)
+    for (gstep, inputs), batch, i in zip(got, want_batches, range(len(got))):
+        assert gstep == 10 + i
+        want = assemble_step_inputs(step_rng(3, gstep), batch, 32)
+        for a, b in zip(inputs, want):
+            if isinstance(a, dict):
+                for k in a:
+                    np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_pipeline_skip_resumes_stream(h5path):
+    dset = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=2)
+    pipe = PrefetchPipeline(dset, batch_size=1, ray_batch_size=32)
+    full = list(pipe.epoch(epoch_seed=1, start_step=0))
+    tail = list(pipe.epoch(epoch_seed=1, start_step=0, skip=2))
+    assert [g for g, _ in tail] == [g for g, _ in full[2:]]
+    np.testing.assert_array_equal(
+        np.asarray(tail[0][1][5]), np.asarray(full[2][1][5])
+    )
 
 
 def test_prefetch_pipeline_propagates_errors(h5path):
     dset = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=2)
     pipe = PrefetchPipeline(dset, batch_size=1, ray_batch_size=32)
 
-    def boom(batch):
+    def boom(batch, gstep):
         raise RuntimeError("boom")
 
     pipe._assemble = boom
     with pytest.raises(RuntimeError, match="boom"):
-        list(pipe.epoch())
+        list(pipe.epoch(epoch_seed=0))
