@@ -138,13 +138,14 @@ class ResnetFC(nn.Module):
             return False
         if self.use_spade or z is None or x is None:
             return False
-        if x.ndim != 4 or x.shape[1] != 1:  # NS == 1 only (no mid-pool)
+        if x.ndim != 4:
             return False
         if not supports(
             n_blocks=self.n_blocks,
             n_lin_z=min(self.combine_layer, self.n_blocks),
             d_hidden=self.d_hidden, d_latent=self.d_latent,
             d_in=self.d_in, bn=self.bn, beta=self.beta,
+            ns=x.shape[1], combine_type=self.combine_type,
         ):
             return False
         import jax
@@ -166,9 +167,12 @@ class ResnetFC(nn.Module):
             from avr_tpu.ops.pallas.resnetfc import fused_resnetfc
 
             SB, NS, B, _ = x.shape
+            # (SB, NS, B, d) -> (NS, SB*B, d): a point's views share a grid
+            # block so the kernel's in-VMEM mean pool sees them together
+            xt = jnp.swapaxes(x, 0, 1).reshape(NS, SB * B, x.shape[-1])
+            zt = jnp.swapaxes(z, 0, 1).reshape(NS, SB * B, z.shape[-1])
             out = fused_resnetfc(
-                x.reshape(SB * B, x.shape[-1]),
-                z.reshape(SB * B, z.shape[-1]),
+                xt, zt,
                 self.variables["params"],
                 n_blocks=self.n_blocks,
                 n_lin_z=min(self.combine_layer, self.n_blocks),

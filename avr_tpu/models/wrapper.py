@@ -46,8 +46,8 @@ class RadFieldRenderer(nn.Module):
     # ray batches per chip (jax.checkpoint over the field closure).
     remat_field: bool = False
     # Fully-fused Pallas LSTM march (avr_tpu/ops/pallas/march.py):
-    # "never" | "auto" (TPU backends, NS == 1, no early-stop) | "always"
-    # (also on CPU via interpret mode, for tests).
+    # "never" | "auto" (TPU backends; NS >= 1, early-stop supported) |
+    # "always" (also on CPU via interpret mode, for tests).
     fused_march: str = "auto"
 
     @property
@@ -156,7 +156,7 @@ class RadFieldRenderer(nn.Module):
                 if _jax.default_backend() not in ("cpu", "gpu")
                 else "xla"
             )
-        if impl != "pallas" or cond.num_views != 1 or self.is_initializing():
+        if impl != "pallas" or self.is_initializing():
             return None
 
         from avr_tpu.ops.pallas.march import pack_projection
@@ -164,7 +164,8 @@ class RadFieldRenderer(nn.Module):
         proj = pack_projection(
             cond.poses, cond.focal, cond.c, cond.latent_scaling,
             cond.image_shape,
-        )  # (SB, 16)
+        )  # (SB * NS, 16); sort rays by their row in the FIRST source view
+        proj = proj.reshape(-1, cond.num_views, 16)[:, 0]
 
         def sort_key(coords):  # (SB, R, 3) -> (SB, R) source-view row
             R = proj[:, :9].reshape(-1, 3, 3)
@@ -178,18 +179,17 @@ class RadFieldRenderer(nn.Module):
     def _maybe_fused_march(self, cond: Conditioning, cfg):
         """Build the fused-march closure when the config allows it, else None.
 
-        The fused kernel covers the reference-exact march: NS == 1 source
-        view, pixel-aligned conditioning, no early-stop masking.  Everything
-        else falls back to the ``lax.scan`` path.
+        The fused kernel covers the march with pixel-aligned conditioning
+        (NS >= 1, multi-view features mean-pool in-kernel; early-stop
+        masking with whole-block skip).  Everything else falls back to the
+        ``lax.scan`` path.
         """
         if (
             self.fused_march == "never"
             or self.is_initializing()
             or not self.has_marcher
-            or cond.num_views != 1
             or not self.model_cfg.use_encoder
-            or getattr(cfg, "early_stop_eps", 0.0) != 0.0
-            or 2 * cfg.hidden_size + 3 > 128
+            or 2 * cfg.hidden_size + 4 > 128
         ):
             return None
         import jax as _jax
@@ -200,15 +200,18 @@ class RadFieldRenderer(nn.Module):
 
         from avr_tpu.ops.pallas.march import fused_lstm_march, pack_projection
 
+        NS = cond.num_views
         lstm_params = self.lstm.variables["params"]
         out_params = self.out_layer.variables["params"]
-        latent = cond.latent  # (SB, H', W', C) since NS == 1
+        latent = cond.latent  # (SB * NS, H', W', C)
+        latent = latent.reshape((-1, NS) + latent.shape[1:])
         if self.model_cfg.stop_encoder_grad:
             latent = jax.lax.stop_gradient(latent)
         proj = pack_projection(
             cond.poses, cond.focal, cond.c, cond.latent_scaling,
             cond.image_shape,
-        )
+        ).reshape(-1, NS, 16)
+        proj0 = proj[:, 0]  # first view, for the ray sort below
         compute_dtype = self.dtype
 
         def march_fn(k, ros, rds):
@@ -218,15 +221,15 @@ class RadFieldRenderer(nn.Module):
             )
             coords0 = ros + rds * init_distance
 
-            # Sort rays by the initial point's source-view row so the
+            # Sort rays by the initial point's first-source-view row so the
             # kernel's per-step windowed gather sees row-coherent blocks
             # (rays drift along themselves, so coherence survives the
             # march).  Pure permutation: outputs are un-permuted below.
-            R = proj[:, :9].reshape(-1, 3, 3)
-            t = proj[:, 9:12]
+            R = proj0[:, :9].reshape(-1, 3, 3)
+            t = proj0[:, 9:12]
             cam = jnp.einsum("sij,srj->sri", R, coords0) + t[:, None, :]
-            key_row = -(cam[..., 1] / cam[..., 2]) * proj[:, None, 13] + (
-                proj[:, None, 15]
+            key_row = -(cam[..., 1] / cam[..., 2]) * proj0[:, None, 13] + (
+                proj0[:, None, 15]
             )
             order = jnp.argsort(key_row, axis=-1)
             inv = jnp.argsort(order, axis=-1)
@@ -238,6 +241,7 @@ class RadFieldRenderer(nn.Module):
                 lstm_params["b_ih"] + lstm_params["b_hh"],
                 out_params["kernel"], out_params["bias"],
                 steps=cfg.raymarch_steps, grad_clamp=cfg.grad_clamp,
+                early_stop_eps=getattr(cfg, "early_stop_eps", 0.0),
                 compute_dtype=compute_dtype, interpret=backend == "cpu",
             )
             return take(coords, inv)

@@ -31,11 +31,23 @@ exact cotangents.  The packed projection scalars (``proj``) get zeros —
 camera poses/intrinsics are data, never trained, in every reference
 configuration (train.py optimizes model parameters only).
 
+Multi-view (NS > 1): all views' feature maps sit stacked in VMEM and each
+step gathers from every view and mean-pools (matching the scan path's NS
+pooling); the backward routes ``dv / NS`` into each view's gather.
+
+Early termination (``early_stop_eps > 0``, BASELINE config 4): rays whose
+|predicted step| drops below the threshold freeze (scan-path masked-lane
+semantics, raymarch.py:81-85) — and because freezing is monotone and a
+frozen ray's LSTM state can no longer reach any output, the kernel skips a
+block's gather + cell entirely once *all* of its rays have frozen (a
+``lax.cond`` around the step body; the ray sort makes convergence
+spatially coherent).  Values and gradients are exactly the scan path's.
+
 Parity (values + all grads) against the unfused jnp path is pinned in
 ``tests/test_pallas_march.py`` via interpret mode.
 
-Restrictions (callers gate and fall back to the scan path): NS == 1,
-``early_stop_eps == 0`` (the reference-exact always-march behaviour).
+Restriction (callers gate and fall back to the scan path): pixel-aligned
+conditioning (``use_encoder``).
 """
 
 from __future__ import annotations
@@ -78,9 +90,13 @@ def pack_projection(poses_w2c, focal, c, latent_scaling, image_shape):
     return jnp.concatenate([R, t, fg, cg], axis=-1).astype(jnp.float32)
 
 
-def _project(proj_ref, row, cx, cy, cz):
-    """World coords -> align-corners grid coords via the packed scalars."""
-    p = lambda k: proj_ref[row, k]
+def _project(proj_ref, row, base, cx, cy, cz):
+    """World coords -> align-corners grid coords via the packed scalars.
+
+    ``base`` offsets into the row for multi-view layouts (view v's 16
+    scalars live at ``[v * 16, (v + 1) * 16)``).
+    """
+    p = lambda k: proj_ref[row, base + k]
     camx = p(0) * cx + p(1) * cy + p(2) * cz + p(9)
     camy = p(3) * cx + p(4) * cy + p(5) * cz + p(10)
     camz = p(6) * cx + p(7) * cy + p(8) * cz + p(11)
@@ -137,81 +153,194 @@ def _cat3(x, y, z):
     return jnp.concatenate([x[:, None], y[:, None], z[:, None]], axis=1)
 
 
+def _gather_view(proj_ref, feat_ref, row, view, cx, cy, cz, *, H, W, blk):
+    """One view's windowed bilinear gather at the current march points.
+
+    Windowed gather (see gather.py): the block's own tap rows pick
+    1..H/wr dynamically-positioned wr-row windows; ray-sorted blocks
+    (wrapper sorts rays by initial source-view row) stay coherent
+    through the march, so this usually runs one window.
+    """
+    HW = H * W
+    gx, gy = _project(proj_ref, row, view * 16, cx, cy, cz)
+    idx, w, _, _ = _taps(gx, gy, H, W)
+    wr = min(16, H)
+    y0i = idx[0][:, 0] // W
+    y1i = idx[2][:, 0] // W
+    lo = jnp.min(y0i)
+    hi = jnp.max(y1i)
+    n_win = (hi - lo) // wr + 1
+    start = jnp.maximum(jnp.minimum(lo, H - n_win * wr), 0)
+
+    def win_body(wi, acc):
+        rs_cover = start + wi * wr
+        rs = jnp.minimum(rs_cover, H - wr)
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (blk, wr * W), 1)
+            + rs * W
+        )
+        cover = pos >= rs_cover * W
+        sel = (
+            ((pos == idx[0]) & cover).astype(jnp.float32) * w[0]
+            + ((pos == idx[1]) & cover).astype(jnp.float32) * w[1]
+            + ((pos == idx[2]) & cover).astype(jnp.float32) * w[2]
+            + ((pos == idx[3]) & cover).astype(jnp.float32) * w[3]
+        )
+        f = feat_ref[pl.ds(view * HW + rs * W, wr * W), :]
+        return acc + jnp.dot(
+            sel.astype(f.dtype), f, preferred_element_type=jnp.float32,
+            precision=_mxu_precision(f.dtype),
+        )
+
+    return jax.lax.fori_loop(
+        0, n_win, win_body, jnp.zeros((blk, feat_ref.shape[1]), jnp.float32)
+    )
+
+
 def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
                 b_ref, wout_ref, bout_ref,
                 out_ref, vst_ref, aux_ref,
-                *, steps, H, W, hidden, cd):
+                *, steps, H, W, hidden, ns, eps, cd):
     cx, cy, cz = _xyz(coords_ref[...])
     rx, ry, rz = _xyz(rds_ref[...])
     blk = cx.shape[0]
     h = jnp.zeros((blk, hidden), jnp.float32)
     c = jnp.zeros((blk, hidden), jnp.float32)
+    active = jnp.ones((blk,), jnp.float32)
 
-    pad = jnp.zeros((blk, 128 - 2 * hidden - 3), jnp.float32)
+    pad = jnp.zeros((blk, 128 - 2 * hidden - 4), jnp.float32)
     row = pl.program_id(0)  # hoisted: program_id can't bind inside fori_loop
 
     # fori_loop (not an unrolled Python loop): one step's body is large —
     # unrolling 10x blows Mosaic compile time with zero runtime benefit
     # (the steps are data-dependent, nothing pipelines across them).
     def body(t, carry):
-        cx, cy, cz, h, c = carry
+        cx, cy, cz, h, c, active = carry
         # per-step carries packed into one lane-aligned (blk, 128) stash row:
-        # [h | c | cx cy cz | 0-pad] (Mosaic requires 128-lane-aligned stores)
+        # [h | c | cx cy cz | active | 0-pad] (Mosaic requires 128-lane-
+        # aligned stores)
         aux_ref[pl.ds(t, 1)] = jnp.concatenate(
-            [h, c, cx[:, None], cy[:, None], cz[:, None], pad], axis=1
+            [h, c, cx[:, None], cy[:, None], cz[:, None], active[:, None],
+             pad], axis=1
         )[None]
-        gx, gy = _project(proj_ref, row, cx, cy, cz)
-        # windowed gather (see gather.py): the block's own tap rows pick
-        # 1..H/wr dynamically-positioned wr-row windows; ray-sorted blocks
-        # (wrapper sorts rays by initial source-view row) stay coherent
-        # through the march, so this usually runs one window.
-        idx, w, _, _ = _taps(gx, gy, H, W)
-        wr = min(16, H)
-        y0i = idx[0][:, 0] // W
-        y1i = idx[2][:, 0] // W
-        lo = jnp.min(y0i)
-        hi = jnp.max(y1i)
-        n_win = (hi - lo) // wr + 1
-        start = jnp.maximum(jnp.minimum(lo, H - n_win * wr), 0)
 
-        def win_body(wi, acc):
-            rs_cover = start + wi * wr
-            rs = jnp.minimum(rs_cover, H - wr)
-            pos = (
-                jax.lax.broadcasted_iota(jnp.int32, (blk, wr * W), 1)
-                + rs * W
-            )
-            cover = pos >= rs_cover * W
-            sel = (
-                ((pos == idx[0]) & cover).astype(jnp.float32) * w[0]
-                + ((pos == idx[1]) & cover).astype(jnp.float32) * w[1]
-                + ((pos == idx[2]) & cover).astype(jnp.float32) * w[2]
-                + ((pos == idx[3]) & cover).astype(jnp.float32) * w[3]
-            )
-            f = feat_ref[pl.ds(rs * W, wr * W), :]
-            return acc + jnp.dot(
-                sel.astype(f.dtype), f, preferred_element_type=jnp.float32,
-                precision=_mxu_precision(f.dtype),
-            )
+        def run_step(op):
+            cx, cy, cz, h, c, active = op
+            # NS > 1: per-view gathers pooled by mean (matches the scan
+            # path's jnp.mean over the NS axis, raymarch.py)
+            v = _gather_view(proj_ref, feat_ref, row, 0, cx, cy, cz,
+                             H=H, W=W, blk=blk)
+            for view in range(1, ns):
+                v = v + _gather_view(proj_ref, feat_ref, row, view,
+                                     cx, cy, cz, H=H, W=W, blk=blk)
+            if ns > 1:
+                v = v * (1.0 / ns)
+            vst_ref[pl.ds(t, 1)] = v.astype(vst_ref.dtype)[None]
+            h2, c2, _ = _cell_fwd(v, h, c, wih_ref, whh_ref, b_ref, cd)
+            s = (
+                jnp.dot(h2.astype(cd), wout_ref[...],
+                        preferred_element_type=jnp.float32,
+                        precision=_mxu_precision(cd))
+                + bout_ref[...].astype(jnp.float32)
+            )[:, 0]
+            if eps > 0.0:
+                # per-ray early termination (raymarch.py:81-85): frozen
+                # rays keep marching the LSTM but step zero; freezing is
+                # monotone so their downstream gradients vanish too
+                s = s * active
+                converged = (jnp.abs(s) < eps).astype(jnp.float32)
+                active = active * (1.0 - converged)
+            return (cx + rx * s, cy + ry * s, cz + rz * s, h2, c2, active)
 
-        v = jax.lax.fori_loop(
-            0, n_win, win_body, jnp.zeros((blk, feat_ref.shape[1]),
-                                          jnp.float32)
-        )
-        vst_ref[pl.ds(t, 1)] = v.astype(vst_ref.dtype)[None]
-        h, c, _ = _cell_fwd(v, h, c, wih_ref, whh_ref, b_ref, cd)
-        s = (
-            jnp.dot(h.astype(cd), wout_ref[...],
-                    preferred_element_type=jnp.float32,
-                    precision=_mxu_precision(cd))
-            + bout_ref[...].astype(jnp.float32)
-        )[:, 0]
-        return (cx + rx * s, cy + ry * s, cz + rz * s, h, c)
+        if eps > 0.0:
+            # whole-block skip: once every ray in this block has converged
+            # the remaining steps cost nothing (gather + cell both skipped;
+            # exact — frozen lanes' h/c never reach the outputs)
+            return jax.lax.cond(
+                jnp.max(active) > 0.0, run_step, lambda op: op, carry
+            )
+        return run_step(carry)
 
-    cx, cy, cz, h, c = jax.lax.fori_loop(
-        0, steps, body, (cx, cy, cz, h, c)
+    cx, cy, cz, h, c, active = jax.lax.fori_loop(
+        0, steps, body, (cx, cy, cz, h, c, active)
     )
     out_ref[...] = _cat3(cx, cy, cz)
+
+
+def _gather_bwd_view(proj_ref, feat_ref, dfeat_ref, b_idx, view, dvc,
+                     cx, cy, cz, *, H, W, blk, cd):
+    """One view's gather backward: accumulate d-latent into the view's
+    slice and return the world-coordinate cotangents (dcx, dcy, dcz)."""
+    HW = H * W
+    base = view * 16
+    gx, gy = _project(proj_ref, b_idx, base, cx, cy, cz)
+    idx, w, wx, wy = _taps(gx, gy, H, W)
+    wr = min(16, H)
+    y0i = idx[0][:, 0] // W
+    y1i = idx[2][:, 0] // W
+    lo = jnp.min(y0i)
+    hi = jnp.max(y1i)
+    n_win = (hi - lo) // wr + 1
+    start = jnp.maximum(jnp.minimum(lo, H - n_win * wr), 0)
+
+    def win_body(wi, gf):
+        rs_cover = start + wi * wr
+        rs = jnp.minimum(rs_cover, H - wr)
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (blk, wr * W), 1)
+            + rs * W
+        )
+        cover = pos >= rs_cover * W
+        m = [(pos == ix) & cover for ix in idx]
+        sel = (
+            m[0].astype(jnp.float32) * w[0]
+            + m[1].astype(jnp.float32) * w[1]
+            + m[2].astype(jnp.float32) * w[2]
+            + m[3].astype(jnp.float32) * w[3]
+        )
+        f = feat_ref[pl.ds(view * HW + rs * W, wr * W), :]
+        dfeat_ref[pl.ds(view * HW + rs * W, wr * W), :] += jax.lax.dot_general(
+            sel.astype(cd), dvc,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cd),
+        )
+        P = jax.lax.dot_general(
+            dvc, f,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cd),
+        )  # (blk, wr * W)
+        return tuple(
+            gf_t
+            + jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True)
+            for gf_t, mm in zip(gf, m)
+        )
+
+    zero = jnp.zeros((blk, 1), jnp.float32)
+    gf = jax.lax.fori_loop(0, n_win, win_body, (zero, zero, zero, zero))
+    d_wx = (gf[1] - gf[0]) * (1.0 - wy) + (gf[3] - gf[2]) * wy
+    d_wy = (gf[2] - gf[0]) * (1.0 - wx) + (gf[3] - gf[1]) * wx
+    x_un = (gx[:, None] + 1.0) * 0.5 * (W - 1)
+    y_un = (gy[:, None] + 1.0) * 0.5 * (H - 1)
+    live_x = ((x_un > 0) & (x_un < W - 1)).astype(jnp.float32)
+    live_y = ((y_un > 0) & (y_un < H - 1)).astype(jnp.float32)
+    dgx = (d_wx * live_x * (0.5 * (W - 1)))[:, 0]
+    dgy = (d_wy * live_y * (0.5 * (H - 1)))[:, 0]
+
+    # projection backward: grid -> cam -> world (R^T on the cam grads)
+    p = lambda k: proj_ref[b_idx, base + k]
+    camx = p(0) * cx + p(1) * cy + p(2) * cz + p(9)
+    camy = p(3) * cx + p(4) * cy + p(5) * cz + p(10)
+    camz = p(6) * cx + p(7) * cy + p(8) * cz + p(11)
+    inv_z = 1.0 / camz
+    dcamx = -dgx * p(12) * inv_z
+    dcamy = -dgy * p(13) * inv_z
+    dcamz = (dgx * p(12) * camx + dgy * p(13) * camy) * inv_z * inv_z
+    dcx = p(0) * dcamx + p(3) * dcamy + p(6) * dcamz
+    dcy = p(1) * dcamx + p(4) * dcamy + p(7) * dcamz
+    dcz = p(2) * dcamx + p(5) * dcamy + p(8) * dcamz
+    return dcx, dcy, dcz
 
 
 def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
@@ -219,7 +348,7 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
                 g_ref, vst_ref, aux_ref,
                 dcoords_ref, drds_ref, dfeat_ref, dwih_ref, dwhh_ref, db_ref,
                 dwout_ref, dbout_ref,
-                *, steps, H, W, hidden, grad_clamp, cd):
+                *, steps, H, W, hidden, ns, eps, grad_clamp, cd):
     b_idx = pl.program_id(0)
     i_idx = pl.program_id(1)
 
@@ -255,10 +384,21 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
     wout_row = wout_ref[...].astype(jnp.float32)[:, 0]  # (hidden,)
 
     def body(i, carry):
-        gcx, gcy, gcz, gh, gcell, grx, gry, grz = carry
         t = steps - 1 - i
-        v = vst_ref[pl.ds(t, 1)][0].astype(jnp.float32)
         aux = aux_ref[pl.ds(t, 1)][0]
+        if eps > 0.0:
+            active = aux[:, 2 * hidden + 3]
+            return jax.lax.cond(
+                jnp.max(active) > 0.0,
+                lambda op: step_bwd(t, aux, active, op),
+                lambda op: op,
+                carry,
+            )
+        return step_bwd(t, aux, None, carry)
+
+    def step_bwd(t, aux, active, carry):
+        gcx, gcy, gcz, gh, gcell, grx, gry, grz = carry
+        v = vst_ref[pl.ds(t, 1)][0].astype(jnp.float32)
         h_prev = aux[:, :hidden]
         c_prev = aux[:, hidden : 2 * hidden]
         cx = aux[:, 2 * hidden]
@@ -276,8 +416,13 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
             + bout_ref[...].astype(jnp.float32)
         )[:, 0]
 
-        # coords_{t+1} = coords_t + rds * s_t
+        # coords_{t+1} = coords_t + rds * s_eff, with s_eff = s * active
+        # under early stopping (active is non-differentiable, so d(s) =
+        # d(s_eff) * active and the rds cotangent sees the masked step)
         ds = gcx * rx + gcy * ry + gcz * rz  # (blk,)
+        if active is not None:
+            s = s * active
+            ds = ds * active
         grx = grx + gcx * s
         gry = gry + gcy * s
         grz = grz + gcz * s
@@ -309,76 +454,18 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
                      preferred_element_type=jnp.float32,
                      precision=_mxu_precision(cd))
 
-        # gather backward: windowed d-latent contraction + masked P per
-        # window (same window math as the forward)
-        gx, gy = _project(proj_ref, b_idx, cx, cy, cz)
-        idx, w, wx, wy = _taps(gx, gy, H, W)
-        wr = min(16, H)
-        y0i = idx[0][:, 0] // W
-        y1i = idx[2][:, 0] // W
-        lo = jnp.min(y0i)
-        hi = jnp.max(y1i)
-        n_win = (hi - lo) // wr + 1
-        start = jnp.maximum(jnp.minimum(lo, H - n_win * wr), 0)
-        dvc = dv.astype(cd)
-
-        def win_body(wi, gf):
-            rs_cover = start + wi * wr
-            rs = jnp.minimum(rs_cover, H - wr)
-            pos = (
-                jax.lax.broadcasted_iota(jnp.int32, (blk, wr * W), 1)
-                + rs * W
+        # gather backward per view: windowed d-latent contraction + masked P
+        # per window (same window math as the forward); the mean pool routes
+        # dv / NS into each view's gather
+        dvc = (dv if ns == 1 else dv * (1.0 / ns)).astype(cd)
+        for view in range(ns):
+            dcx, dcy, dcz = _gather_bwd_view(
+                proj_ref, feat_ref, dfeat_ref, b_idx, view, dvc,
+                cx, cy, cz, H=H, W=W, blk=blk, cd=cd,
             )
-            cover = pos >= rs_cover * W
-            m = [(pos == ix) & cover for ix in idx]
-            sel = (
-                m[0].astype(jnp.float32) * w[0]
-                + m[1].astype(jnp.float32) * w[1]
-                + m[2].astype(jnp.float32) * w[2]
-                + m[3].astype(jnp.float32) * w[3]
-            )
-            f = feat_ref[pl.ds(rs * W, wr * W), :]
-            dfeat_ref[pl.ds(rs * W, wr * W), :] += jax.lax.dot_general(
-                sel.astype(cd), dvc,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mxu_precision(cd),
-            )
-            P = jax.lax.dot_general(
-                dvc, f,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mxu_precision(cd),
-            )  # (blk, wr * W)
-            return tuple(
-                gf_t
-                + jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True)
-                for gf_t, mm in zip(gf, m)
-            )
-
-        zero = jnp.zeros((blk, 1), jnp.float32)
-        gf = jax.lax.fori_loop(0, n_win, win_body, (zero, zero, zero, zero))
-        d_wx = (gf[1] - gf[0]) * (1.0 - wy) + (gf[3] - gf[2]) * wy
-        d_wy = (gf[2] - gf[0]) * (1.0 - wx) + (gf[3] - gf[1]) * wx
-        x_un = (gx[:, None] + 1.0) * 0.5 * (W - 1)
-        y_un = (gy[:, None] + 1.0) * 0.5 * (H - 1)
-        live_x = ((x_un > 0) & (x_un < W - 1)).astype(jnp.float32)
-        live_y = ((y_un > 0) & (y_un < H - 1)).astype(jnp.float32)
-        dgx = (d_wx * live_x * (0.5 * (W - 1)))[:, 0]
-        dgy = (d_wy * live_y * (0.5 * (H - 1)))[:, 0]
-
-        # projection backward: grid -> cam -> world (R^T on the cam grads)
-        p = lambda k: proj_ref[b_idx, k]
-        camx = p(0) * cx + p(1) * cy + p(2) * cz + p(9)
-        camy = p(3) * cx + p(4) * cy + p(5) * cz + p(10)
-        camz = p(6) * cx + p(7) * cy + p(8) * cz + p(11)
-        inv_z = 1.0 / camz
-        dcamx = -dgx * p(12) * inv_z
-        dcamy = -dgy * p(13) * inv_z
-        dcamz = (dgx * p(12) * camx + dgy * p(13) * camy) * inv_z * inv_z
-        gcx = gcx + p(0) * dcamx + p(3) * dcamy + p(6) * dcamz
-        gcy = gcy + p(1) * dcamx + p(4) * dcamy + p(7) * dcamz
-        gcz = gcz + p(2) * dcamx + p(5) * dcamy + p(8) * dcamz
+            gcx = gcx + dcx
+            gcy = gcy + dcy
+            gcz = gcz + dcz
         return (gcx, gcy, gcz, gh, gcell, grx, gry, grz)
 
     gcx, gcy, gcz, gh, gcell, grx, gry, grz = jax.lax.fori_loop(
@@ -398,10 +485,10 @@ def _pad_pts(a, n_pad):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_march(steps: int, H: int, W: int, C: int, hidden: int,
-                grad_clamp: float, compute_dtype, interpret: bool):
+def _make_march(steps: int, H: int, W: int, C: int, hidden: int, ns: int,
+                eps: float, grad_clamp: float, compute_dtype, interpret: bool):
     cd = compute_dtype
-    HW = H * W
+    HW = ns * H * W  # all views' feature maps stacked along the row axis
 
     _b0 = lambda b, i: (b, 0)
     _b00 = lambda b, i: (b, 0, 0)
@@ -420,7 +507,7 @@ def _make_march(steps: int, H: int, W: int, C: int, hidden: int,
                 proj_ref, c_ref.at[0], r_ref.at[0], f_ref.at[0], wih_ref,
                 whh_ref, b_ref, wo_ref, bo_ref, out_ref.at[0], vst.at[0],
                 aux.at[0],
-                steps=steps, H=H, W=W, hidden=hidden, cd=cd,
+                steps=steps, H=H, W=W, hidden=hidden, ns=ns, eps=eps, cd=cd,
             ),
             grid=(B, Np // _BLK),
             in_specs=[
@@ -488,7 +575,7 @@ def _make_march(steps: int, H: int, W: int, C: int, hidden: int,
                 vst_ref.at[0], aux_ref.at[0],
                 dc_ref.at[0], dr_ref.at[0], df_ref.at[0],
                 dwih_ref, dwhh_ref, db_ref, dwo_ref, dbo_ref,
-                steps=steps, H=H, W=W, hidden=hidden,
+                steps=steps, H=H, W=W, hidden=hidden, ns=ns, eps=eps,
                 grad_clamp=grad_clamp, cd=cd,
             ),
             grid=(B, Np // _BLK),
@@ -560,10 +647,10 @@ def _make_march(steps: int, H: int, W: int, C: int, hidden: int,
 
 
 def fused_lstm_march(
-    proj: jnp.ndarray,  # (SB, 16) packed projection (pack_projection)
+    proj: jnp.ndarray,  # (SB, 16) or (SB, NS, 16) packed projections
     coords0: jnp.ndarray,  # (SB, R, 3) init world coords (ros + rds*d0)
     rds: jnp.ndarray,  # (SB, R, 3) unit ray dirs
-    feat: jnp.ndarray,  # (SB, H, W, C) conditioning feature map (NS == 1)
+    feat: jnp.ndarray,  # (SB, H, W, C) or (SB, NS, H, W, C) feature maps
     w_ih: jnp.ndarray,  # (C, 4H)
     w_hh: jnp.ndarray,  # (H, 4H)
     bias: jnp.ndarray,  # (4H,) combined b_ih + b_hh
@@ -572,20 +659,33 @@ def fused_lstm_march(
     *,
     steps: int,
     grad_clamp: float = 10.0,
+    early_stop_eps: float = 0.0,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the fused LSTM ray-march; returns final world coords (SB, R, 3)."""
-    B, Hh, Ww, C = feat.shape
+    """Run the fused LSTM ray-march; returns final world coords (SB, R, 3).
+
+    With an NS axis, per-step features are the mean of the per-view
+    bilinear gathers (matching the scan path's NS pooling, raymarch.py).
+    ``early_stop_eps > 0`` freezes rays whose |step| drops below the
+    threshold (scan-path semantics) and skips a block's remaining steps
+    entirely once every one of its rays has frozen.
+    """
+    if feat.ndim == 4:
+        feat = feat[:, None]
+    if proj.ndim == 2:
+        proj = proj[:, None]
+    B, ns, Hh, Ww, C = feat.shape
     hidden = w_hh.shape[0]
-    if 2 * hidden + 3 > 128:
+    if 2 * hidden + 4 > 128:
         raise ValueError(
-            f"fused march packs (h, c, coords) into one 128-lane stash row; "
-            f"hidden_size {hidden} > 62 is not supported — use the scan path"
+            f"fused march packs (h, c, coords, active) into one 128-lane "
+            f"stash row; hidden_size {hidden} > 62 is not supported — use "
+            f"the scan path"
         )
     fn = _make_march(
-        steps, Hh, Ww, C, hidden, float(grad_clamp),
-        jnp.dtype(compute_dtype).type, interpret,
+        steps, Hh, Ww, C, hidden, ns, float(early_stop_eps),
+        float(grad_clamp), jnp.dtype(compute_dtype).type, interpret,
     )
-    return fn(proj, coords0.astype(jnp.float32), rds.astype(jnp.float32),
-              feat, w_ih, w_hh, bias, w_out, b_out)
+    return fn(proj.reshape(B, ns * 16), coords0.astype(jnp.float32),
+              rds.astype(jnp.float32), feat, w_ih, w_hh, bias, w_out, b_out)

@@ -17,6 +17,15 @@ activations per block (FLOPs are cheap, HBM is not) and accumulates the
 weight cotangents in fp32 VMEM accumulators across the sequential TPU
 grid; point cotangents (dx, dz) stream out per block.
 
+Multi-view (NS > 1): the kernel implements the reference's mid-network
+cross-view *mean* pool (reference models.py:579-581, ``combine_interleaved``
+utils.py:71-81) in VMEM — each view's stream runs lin_in + the injected
+blocks [0, n_lin_z), the NS streams are averaged, and the remaining blocks
++ lin_out run once on the pooled features.  The pool never touches HBM.
+Inputs are laid out ``(NS, N, d)`` so a point's views land in the same
+grid block.  With NS == 1 the math (and the generated kernel) is identical
+to the single-view path.
+
 Performance rules this kernel follows (learned the hard way — v1 measured
 *slower* than XLA):
 
@@ -26,16 +35,17 @@ Performance rules this kernel follows (learned the hard way — v1 measured
   * the backward's ``@ W^T`` matmuls use **pre-transposed weight copies**
     computed once outside the kernel — an in-kernel ``.T`` re-lays out a
     512x512 tile on every one of the ~hundreds of grid steps;
-  * large point blocks (1024) amortize the MXU pipeline drain between the
-    13 dependent matmuls.
+  * large point blocks (1024+) amortize the MXU pipeline drain between the
+    13 dependent matmuls; the block shrinks with NS to bound the backward's
+    per-view activation stash in VMEM.
 
 Numerics: the residual trunk ``h`` is carried in fp32 — strictly tighter
 than the unfused bf16 path.  Parity with the Flax module (both values and
 grads) is pinned in ``tests/test_pallas_resnetfc.py`` via interpret mode.
 
 Restrictions (callers gate on these and fall back to the Flax path):
-ReLU activation (beta == 0), no BatchNorm, NS == 1 (no mid-network
-cross-view pool), d_latent > 0, d_in > 0, d_hidden a multiple of 128.
+ReLU activation (beta == 0), no BatchNorm, average combine for NS > 1,
+d_latent > 0, d_in > 0, d_hidden a multiple of 128.
 """
 
 from __future__ import annotations
@@ -49,12 +59,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_resnetfc", "supports"]
 
-_BLK_FWD = 2048  # points per forward grid step
-_BLK_BWD = 2048  # points per backward grid step
+_BLK_FWD = 2048  # points per forward grid step (divided by NS)
+_BLK_BWD = 2048  # points per backward grid step (divided by NS)
 
 
 def supports(*, n_blocks: int, n_lin_z: int, d_hidden: int, d_latent: int,
-             d_in: int, bn: bool, beta: float) -> bool:
+             d_in: int, bn: bool, beta: float, ns: int = 1,
+             combine_type: str = "average") -> bool:
     """Whether the fused kernel covers this decoder configuration."""
     return (
         not bn
@@ -63,28 +74,39 @@ def supports(*, n_blocks: int, n_lin_z: int, d_hidden: int, d_latent: int,
         and d_latent > 0
         and d_hidden % 128 == 0
         and 0 < n_lin_z <= n_blocks
+        and (ns == 1 or combine_type == "average")
     )
 
 
 def _fwd_kernel(x_ref, z_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref, b0_ref,
                 w1_ref, b1_ref, wo_ref, bo_ref, out_ref, *, n_blocks, n_lin_z,
-                compute_dtype):
+                ns, compute_dtype):
     cd = compute_dtype
-    x = x_ref[...].astype(cd)
-    z = z_ref[...].astype(cd)
 
-    h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
-    h = h + bi_ref[...].astype(jnp.float32)  # fp32 trunk
-    for k in range(n_blocks):
-        if k < n_lin_z:
-            inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
-            h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
+    def run_block(h, k):
         a1 = jnp.maximum(h, 0.0).astype(cd)
         net = jnp.dot(a1, w0_ref[k], preferred_element_type=jnp.float32)
         net = net + b0_ref[k : k + 1, :].astype(jnp.float32)
         a2 = jnp.maximum(net, 0.0).astype(cd)
         dx = jnp.dot(a2, w1_ref[k], preferred_element_type=jnp.float32)
-        h = h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
+        return h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
+
+    # per-view stream: lin_in + the injected pre-pool blocks
+    h_sum = None
+    for v in range(ns):
+        x = x_ref[v].astype(cd)
+        z = z_ref[v].astype(cd)
+        h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
+        h = h + bi_ref[...].astype(jnp.float32)  # fp32 trunk
+        for k in range(n_lin_z):
+            inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
+            h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
+            h = run_block(h, k)
+        h_sum = h if h_sum is None else h_sum + h
+    h = h_sum if ns == 1 else h_sum * (1.0 / ns)  # cross-view mean pool
+
+    for k in range(n_lin_z, n_blocks):
+        h = run_block(h, k)
     a = jnp.maximum(h, 0.0).astype(cd)
     out = jnp.dot(a, wo_ref[...], preferred_element_type=jnp.float32)
     out_ref[...] = (out + bo_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
@@ -95,25 +117,16 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
                 wiT_ref, wzT_ref, w0T_ref, w1T_ref, woT_ref,
                 dx_ref, dz_ref, dwi_ref, dbi_ref, dwz_ref, dbz_ref, dw0_ref,
                 db0_ref, dw1_ref, db1_ref, dwo_ref, dbo_ref, *, n_blocks,
-                n_lin_z, compute_dtype):
+                n_lin_z, ns, compute_dtype):
     cd = compute_dtype
     i = pl.program_id(0)
 
-    x = x_ref[...].astype(cd)
-    z = z_ref[...].astype(cd)
     g = g_ref[...].astype(jnp.float32)
 
     # --- recompute forward, stashing post-ReLU activations in bf16 --------
     # (the cd-cast values are exactly what the matmuls consumed; the ReLU
     # masks are recovered as a > 0, and cd keeps the stash VMEM half-size)
-    h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
-    h = h + bi_ref[...].astype(jnp.float32)
-    a1s = []  # relu(block input) in cd
-    a2s = []  # relu(fc_0 pre-activation) in cd
-    for k in range(n_blocks):
-        if k < n_lin_z:
-            inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
-            h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
+    def fwd_block(h, k, a1s, a2s):
         a1 = jnp.maximum(h, 0.0).astype(cd)
         a1s.append(a1)
         net = jnp.dot(a1, w0_ref[k], preferred_element_type=jnp.float32)
@@ -121,7 +134,31 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
         a2 = jnp.maximum(net, 0.0).astype(cd)
         a2s.append(a2)
         dx = jnp.dot(a2, w1_ref[k], preferred_element_type=jnp.float32)
-        h = h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
+        return h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
+
+    xs, zs = [], []
+    pre_a1, pre_a2 = [], []  # per view: lists of pre-pool activations
+    h_sum = None
+    for v in range(ns):
+        x = x_ref[v].astype(cd)
+        z = z_ref[v].astype(cd)
+        xs.append(x)
+        zs.append(z)
+        h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
+        h = h + bi_ref[...].astype(jnp.float32)
+        a1s, a2s = [], []
+        for k in range(n_lin_z):
+            inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
+            h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
+            h = fwd_block(h, k, a1s, a2s)
+        pre_a1.append(a1s)
+        pre_a2.append(a2s)
+        h_sum = h if h_sum is None else h_sum + h
+    h = h_sum if ns == 1 else h_sum * (1.0 / ns)
+
+    post_a1, post_a2 = [], []
+    for k in range(n_lin_z, n_blocks):
+        h = fwd_block(h, k, post_a1, post_a2)
     h_final = h
 
     def contract_t(a, b):
@@ -145,17 +182,8 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
         dwo_ref[...] = jnp.zeros_like(dwo_ref)
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
-    # --- backward ----------------------------------------------------------
-    aout = jnp.maximum(h_final, 0.0)
-    dwo_ref[...] += contract_t(aout, g)
-    dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-    gh = jnp.dot(g.astype(cd), woT_ref[...], preferred_element_type=jnp.float32)
-    gh = jnp.where(h_final > 0.0, gh, 0.0)
-
-    dz = jnp.zeros_like(z, jnp.float32)
-    for k in range(n_blocks - 1, -1, -1):
-        a1 = a1s[k]
-        a2 = a2s[k]
+    def bwd_block(gh, k, a1, a2):
+        """Backward through one residual block; returns the input cotangent."""
         ghc = gh.astype(cd)
         dw1_ref[k] += contract_t(a2, gh)
         db1_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
@@ -164,40 +192,62 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
         gnet = jnp.where(a2.astype(jnp.float32) > 0.0, gnet, 0.0)
         dw0_ref[k] += contract_t(a1, gnet)
         db0_ref[k : k + 1, :] += jnp.sum(gnet, axis=0, keepdims=True)
-        gh = gh + jnp.where(
+        return gh + jnp.where(
             a1.astype(jnp.float32) > 0.0,
             jnp.dot(gnet.astype(cd), w0T_ref[k],
                     preferred_element_type=jnp.float32),
             0.0,
         )
-        if k < n_lin_z:
-            dwz_ref[k] += contract_t(z, gh)
+
+    # --- backward ----------------------------------------------------------
+    aout = jnp.maximum(h_final, 0.0)
+    dwo_ref[...] += contract_t(aout, g)
+    dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    gh = jnp.dot(g.astype(cd), woT_ref[...], preferred_element_type=jnp.float32)
+    gh = jnp.where(h_final > 0.0, gh, 0.0)
+
+    for k in range(n_blocks - 1, n_lin_z - 1, -1):
+        j = k - n_lin_z
+        gh = bwd_block(gh, k, post_a1[j], post_a2[j])
+
+    # through the mean pool into each view's stream
+    gh_pool = gh if ns == 1 else gh * (1.0 / ns)
+    for v in range(ns):
+        gh = gh_pool
+        dz = jnp.zeros_like(zs[v], jnp.float32)
+        for k in range(n_lin_z - 1, -1, -1):
+            gh = bwd_block(gh, k, pre_a1[v][k], pre_a2[v][k])
+            dwz_ref[k] += contract_t(zs[v], gh)
             dbz_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
             dz = dz + jnp.dot(gh.astype(cd), wzT_ref[k],
                               preferred_element_type=jnp.float32)
 
-    dwi_ref[...] += contract_t(x, gh)
-    dbi_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
-    dx_ref[...] = jnp.dot(gh.astype(cd), wiT_ref[...],
-                          preferred_element_type=jnp.float32).astype(dx_ref.dtype)
-    dz_ref[...] = dz.astype(dz_ref.dtype)
+        dwi_ref[...] += contract_t(xs[v], gh)
+        dbi_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
+        dx_ref[v] = jnp.dot(gh.astype(cd), wiT_ref[...],
+                            preferred_element_type=jnp.float32).astype(
+                                dx_ref.dtype)
+        dz_ref[v] = dz.astype(dz_ref.dtype)
 
 
 def _pad_rows(a, n_pad):
-    n = a.shape[0]
-    return a if n == n_pad else jnp.pad(a, ((0, n_pad - n), (0, 0)))
+    n = a.shape[1]
+    return a if n == n_pad else jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
 
 
 _full = lambda i: (0, 0)
 _full3 = lambda i: (0, 0, 0)
-_blocked = lambda i: (i, 0)
+_blocked = lambda i: (0, i, 0)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
-                d_hidden: int, d_out: int, compute_dtype, interpret: bool):
+def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
+                d_latent: int, d_hidden: int, d_out: int, compute_dtype,
+                interpret: bool):
     """Build (and cache) the custom-VJP fused decoder for one static config."""
     cd = compute_dtype
+    blk_fwd = max(_BLK_FWD // ns, 512)
+    blk_bwd = max(_BLK_BWD // ns, 512)
 
     def weight_specs():
         return [
@@ -229,24 +279,28 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
             pl.BlockSpec((d_out, d_hidden), _full, memory_space=pltpu.VMEM),
         ]
 
-    mm = 2 * d_hidden * d_hidden * (2 * n_blocks + n_lin_z) + 2 * d_in * d_hidden
+    mm = 2 * d_hidden * d_hidden * (
+        ns * (2 * n_lin_z + n_lin_z) + 2 * (n_blocks - n_lin_z)
+    ) + 2 * ns * d_in * d_hidden
 
     def _forward(x, z, *params):
-        n = x.shape[0]
-        n_pad = max(pl.cdiv(n, _BLK_FWD), 1) * _BLK_FWD
+        # x, z: (NS, N, d)
+        n = x.shape[1]
+        n_pad = max(pl.cdiv(n, blk_fwd), 1) * blk_fwd
         xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
         cparams = [p.astype(cd) for p in params]
         out = pl.pallas_call(
             functools.partial(_fwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
-                              compute_dtype=cd),
-            grid=(n_pad // _BLK_FWD,),
+                              ns=ns, compute_dtype=cd),
+            grid=(n_pad // blk_fwd,),
             in_specs=[
-                pl.BlockSpec((_BLK_FWD, d_in), _blocked, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK_FWD, d_latent), _blocked,
+                pl.BlockSpec((ns, blk_fwd, d_in), _blocked,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns, blk_fwd, d_latent), _blocked,
                              memory_space=pltpu.VMEM),
                 *weight_specs(),
             ],
-            out_specs=pl.BlockSpec((_BLK_FWD, d_out), _blocked,
+            out_specs=pl.BlockSpec((blk_fwd, d_out), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32),
             interpret=interpret,
@@ -268,10 +322,12 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
 
     def bwd(res, g):
         x, z, params = res
-        n = x.shape[0]
-        n_pad = max(pl.cdiv(n, _BLK_BWD), 1) * _BLK_BWD
+        n = x.shape[1]
+        n_pad = max(pl.cdiv(n, blk_bwd), 1) * blk_bwd
         xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
-        gp = _pad_rows(g.astype(jnp.float32), n_pad)
+        gp = g.astype(jnp.float32)
+        if n != n_pad:
+            gp = jnp.pad(gp, ((0, n_pad - n), (0, 0)))
         wi, bi, wz, bz, w0, b0, w1, b1, wo, bo = params
         cparams = [p.astype(cd) for p in (wi, bi, wz, bz, w0, b0, w1, b1)]
         # Transposes computed ONCE here (cheap XLA transposes in HBM) so the
@@ -287,21 +343,22 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
         f32 = jnp.float32
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
-                              compute_dtype=cd),
-            grid=(n_pad // _BLK_BWD,),
+                              ns=ns, compute_dtype=cd),
+            grid=(n_pad // blk_bwd,),
             in_specs=[
-                pl.BlockSpec((_BLK_BWD, d_in), _blocked, memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK_BWD, d_latent), _blocked,
+                pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK_BWD, d_out), _blocked,
+                pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk_bwd, d_out), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 *weight_specs()[:-2],
                 *weight_t_specs(),
             ],
             out_specs=[
-                pl.BlockSpec((_BLK_BWD, d_in), _blocked,
+                pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((_BLK_BWD, d_latent), _blocked,
+                pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((d_in, d_hidden), _full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
@@ -318,8 +375,8 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
                 pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n_pad, d_in), f32),
-                jax.ShapeDtypeStruct((n_pad, d_latent), f32),
+                jax.ShapeDtypeStruct((ns, n_pad, d_in), f32),
+                jax.ShapeDtypeStruct((ns, n_pad, d_latent), f32),
                 jax.ShapeDtypeStruct((d_in, d_hidden), f32),
                 jax.ShapeDtypeStruct((1, d_hidden), f32),
                 jax.ShapeDtypeStruct((n_lin_z, d_latent, d_hidden), f32),
@@ -343,7 +400,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, d_in: int, d_latent: int,
         dx, dz, dwi, dbi, dwz, dbz, dw0, db0, dw1, db1, dwo, dbo = outs
         cast = lambda grad, p: grad.astype(p.dtype)
         return (
-            dx[:n].astype(x.dtype), dz[:n].astype(z.dtype),
+            dx[:, :n].astype(x.dtype), dz[:, :n].astype(z.dtype),
             cast(dwi, params[0]), cast(dbi, params[1]),
             cast(dwz, params[2]), cast(dbz, params[3]),
             cast(dw0, params[4]), cast(db0, params[5]),
@@ -360,13 +417,21 @@ def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
     """Apply the fused decoder.
 
     Args:
-      x: ``(N, d_in)`` point features.
-      z: ``(N, d_latent)`` conditioning latents.
+      x: ``(N, d_in)`` or ``(NS, N, d_in)`` point features.
+      z: ``(N, d_latent)`` or ``(NS, N, d_latent)`` conditioning latents.
       params: the Flax ``ResnetFC`` param subtree (``lin_in``, ``lin_z_k``,
         ``block_k/fc_0|fc_1``, ``lin_out`` Dense kernels/biases).
 
+    With an NS axis, the cross-view mean pool runs in-kernel after block
+    ``n_lin_z - 1`` (= min(combine_layer, n_blocks) pre-pool blocks).
+
     Returns ``(N, d_out)`` in fp32.
     """
+    if x.ndim == 2:
+        x = x[None]
+        z = z[None]
+    ns = x.shape[0]
+
     wi = params["lin_in"]["kernel"]
     bi = params["lin_in"]["bias"][None, :]
     wz = jnp.stack([params[f"lin_z_{k}"]["kernel"] for k in range(n_lin_z)])
@@ -383,7 +448,7 @@ def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
     bo = params["lin_out"]["bias"][None, :]
 
     fn = _make_fused(
-        n_blocks, n_lin_z, x.shape[-1], z.shape[-1], wi.shape[-1],
+        n_blocks, n_lin_z, ns, x.shape[-1], z.shape[-1], wi.shape[-1],
         wo.shape[-1], jnp.dtype(compute_dtype).type, interpret,
     )
     return fn(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)

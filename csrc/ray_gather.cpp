@@ -86,9 +86,10 @@ int avr_gather_rays(const float* x_pix, const float* images,
 // normalization, reference dataset.py:51), threaded over rows.
 int avr_decode_images(const uint8_t* src, float* dst, int64_t n) {
   if (n <= 0) return 1;
-  constexpr float kScale = 1.0f / 127.5f;
+  // divide (not multiply-by-reciprocal): bit-identical to the numpy
+  // fallback `u8.astype(f32) / 127.5 - 1`
   for (int64_t i = 0; i < n; ++i) {
-    dst[i] = static_cast<float>(src[i]) * kScale - 1.0f;
+    dst[i] = static_cast<float>(src[i]) / 127.5f - 1.0f;
   }
   return 0;
 }

@@ -25,6 +25,14 @@ def main(max_devices=None):
     import dataclasses
 
     import jax
+
+    # SCALE_PLATFORM=cpu: the env's sitecustomize pins the axon TPU plugin,
+    # so JAX_PLATFORMS alone doesn't stick — the config update does.  Use
+    # with XLA_FLAGS=--xla_force_host_platform_device_count=8 for the
+    # virtual mesh.
+    plat = os.environ.get("SCALE_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     import optax
 
@@ -104,13 +112,21 @@ def main(max_devices=None):
         dt = time.perf_counter() - t0
         rays_s = SB * R * ITERS / dt
         results[n] = rays_s
+        # On real chips rays/s should grow ~n (strong scaling over ICI);
+        # efficiency_vs_1 is the gate-#2 number.  On the virtual CPU mesh
+        # every "device" shares the same cores, so the honest signal is
+        # sharding_overhead: how much slower the N-way-partitioned program
+        # runs than the single-program one at the SAME global batch
+        # (1.0 = zero partitioning/collective software overhead).
         eff = rays_s / (results[1] * n) if 1 in results else 1.0
+        overhead = results[1] / rays_s if 1 in results else 1.0
         print(
             json.dumps(
                 {
                     "devices": n,
                     "rays_per_s": round(rays_s),
                     "efficiency_vs_1": round(eff, 3),
+                    "sharding_overhead_vs_1": round(overhead, 3),
                 }
             ),
             flush=True,

@@ -99,6 +99,20 @@ def main():
             ok = False
     print("PASS  fused decoder grads (cosine >= 0.98 vs Flax bf16)")
 
+    # ---- fused decoder, NS=2 multi-view (in-kernel mean pool at block 3)
+    Nm = 24576
+    xm = jnp.asarray(rng.normal(size=(1, 2, Nm, D_IN)).astype(np.float32))
+    zm = jnp.asarray(rng.normal(size=(1, 2, Nm, D_L)).astype(np.float32))
+    outs_mv = []
+    for fused in ("never", "always"):
+        mod = ResnetFC(d_in=D_IN, d_out=4, n_blocks=5, d_latent=D_L,
+                       d_hidden=D_H, combine_layer=3, fused=fused,
+                       dtype=jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(0), xm, zm)
+        outs_mv.append(jax.jit(mod.apply)(params, xm, zm))
+    ok &= _check("fused decoder NS=2 fwd (vs Flax bf16)", outs_mv[1],
+                 outs_mv[0], 5e-2, 5e-2)
+
     # ---- fused march (f32 compute so the jnp reference is exact-ish).
     # Checked at 2 steps: the march is a chaotic recurrence (LSTM + discrete
     # bilinear tap boundaries), so ~1e-7 per-step differences between the
@@ -166,6 +180,85 @@ def main():
 
     want = jax.jit(ref_march)(coords0)
     ok &= _check("fused march fwd (f32, 2 steps)", got, want, 1e-3, 1e-4)
+
+    # ---- fused march, NS=2 (per-view gathers mean-pooled in-kernel)
+    a = 0.15
+    rotz = np.array(
+        [[np.cos(a), -np.sin(a), 0.0], [np.sin(a), np.cos(a), 0.0],
+         [0.0, 0.0, 1.0]], np.float32)
+    poses2 = np.stack([poses, poses.copy()], axis=1)  # (Br, 2, 3, 4)
+    poses2[:, 1, :3, :3] = rotz @ poses2[:, 1, :3, :3]
+    poses2 = poses2.reshape(Br * 2, 3, 4)
+    proj2 = pack_projection(
+        jnp.asarray(poses2), focal, cpt, ls, ish
+    ).reshape(Br, 2, 16)
+    featm2 = jnp.stack([featm, featm[::-1]], axis=1)  # (Br, 2, H, W, C)
+
+    got2 = jax.jit(lambda *args: fused_lstm_march(
+        *args, steps=STEPS, grad_clamp=10.0, compute_dtype=jnp.float32,
+    ))(proj2, coords0, rds, featm2, wih, whh, bias, wout, bout)
+
+    Rm2 = jnp.asarray(poses2)[:, :3, :3].reshape(Br, 2, 3, 3)
+    t2 = jnp.asarray(poses2)[:, :3, 3].reshape(Br, 2, 3)
+
+    def ref_march_mv(coords0):
+        h = jnp.zeros((Br, R, HID), jnp.float32)
+        cc = jnp.zeros((Br, R, HID), jnp.float32)
+        coords = coords0
+        for _ in range(STEPS):
+            cam = jnp.einsum("bvij,bnj->bvni", Rm2, coords,
+                             precision="highest") + t2[:, :, None, :]
+            g = (-cam[..., :2] / cam[..., 2:3] * fg[:, None, None, :]
+                 + cg[:, None, None, :])
+            v = grid_sample_2d(
+                featm2.reshape(Br * 2, H, W, C), g.reshape(Br * 2, R, 2)
+            ).reshape(Br, 2, R, C).mean(axis=1)
+            gates = (jnp.dot(v, wih, precision="highest")
+                     + jnp.dot(h, whh, precision="highest") + bias)
+            i, f, gg, o = jnp.split(gates, 4, axis=-1)
+            cc = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(gg)
+            h = jax.nn.sigmoid(o) * jnp.tanh(cc)
+            h = clamp_grad(h, 10.0)
+            coords = coords + rds * (
+                jnp.dot(h, wout, precision="highest") + bout)
+        return coords
+
+    want2 = jax.jit(ref_march_mv)(coords0)
+    ok &= _check("fused march NS=2 fwd (f32, 2 steps)", got2, want2,
+                 1e-3, 1e-4)
+
+    # ---- fused march early stop (the in-kernel lax.cond block skip must
+    # lower through Mosaic and reproduce the masked-lane reference)
+    EPS = 0.05
+    got3 = jax.jit(lambda *a: fused_lstm_march(
+        *a, steps=STEPS, grad_clamp=10.0, early_stop_eps=EPS,
+        compute_dtype=jnp.float32,
+    ))(proj, coords0, rds, featm, wih, whh, bias, wout, bout)
+
+    def ref_march_es(coords0):
+        h = jnp.zeros((Br, R, HID), jnp.float32)
+        cc = jnp.zeros((Br, R, HID), jnp.float32)
+        active = jnp.ones((Br, R, 1), jnp.float32)
+        coords = coords0
+        for _ in range(STEPS):
+            cam = jnp.einsum("bij,bnj->bni", Rm, coords,
+                             precision="highest") + t[:, None, :]
+            g = -cam[..., :2] / cam[..., 2:3] * fg[:, None, :] + cg[:, None, :]
+            v = grid_sample_2d(featm, g)
+            gates = (jnp.dot(v, wih, precision="highest")
+                     + jnp.dot(h, whh, precision="highest") + bias)
+            i, f, gg, o = jnp.split(gates, 4, axis=-1)
+            cc = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(gg)
+            h = jax.nn.sigmoid(o) * jnp.tanh(cc)
+            h = clamp_grad(h, 10.0)
+            s = (jnp.dot(h, wout, precision="highest") + bout) * active
+            active = active * (1.0 - (jnp.abs(s) < EPS).astype(jnp.float32))
+            coords = coords + rds * s
+        return coords
+
+    want3 = jax.jit(ref_march_es)(coords0)
+    ok &= _check("fused march early-stop fwd (f32, 2 steps)", got3, want3,
+                 1e-3, 1e-4)
 
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1

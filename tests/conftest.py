@@ -23,6 +23,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _isolate_global_jax_config():
+    """Keep process-global jax config from leaking across tests.
+
+    The train CLI legitimately sets ``jax_default_prng_impl`` (rbg by
+    default) for its process; when CLI tests run before numerical tests
+    in the same process, later tests would otherwise see different
+    random draws than when run alone (a real ordering flake, round 2).
+    """
+    impl = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != impl:
+        jax.config.update("jax_default_prng_impl", impl)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

