@@ -116,6 +116,13 @@ class ResnetFC(nn.Module):
         kernel (``avr_tpu.ops.pallas.resnetfc``) when the configuration
         allows it ('auto' enables it on TPU backends only; 'always' also
         runs it on CPU via interpret mode, for tests).
+      code_spec: when set, inputs ``x`` are *raw* point features and the
+        NeRF positional encoding (reference models.py:791-793) runs inside
+        this module — in VMEM on the fused path, as the exact
+        ``PositionalEncoding`` math otherwise.
+      activate_out: apply the field head's ``sigmoid(rgb)/relu(sigma)``
+        split (reference models.py:856-862) inside this module (in-kernel
+        on the fused path).
     """
 
     d_in: int
@@ -129,7 +136,26 @@ class ResnetFC(nn.Module):
     combine_type: str = "average"
     use_spade: bool = False
     fused: str = "never"
+    code_spec: Optional[Any] = None  # avr_tpu.ops.pallas.resnetfc.CodeSpec
+    activate_out: bool = False
     dtype: Any = jnp.float32
+
+    def _apply_code(self, x: jnp.ndarray) -> jnp.ndarray:
+        """XLA fallback for ``code_spec``: bitwise the PositionalEncoding
+        module's math (coded dims first, interleaved sin/cos, passthrough
+        appended)."""
+        cs = self.code_spec
+        coded = x[..., : cs.d_coded]
+        freqs = cs.freq_factor * 2.0 ** jnp.arange(cs.num_freqs, dtype=x.dtype)
+        freqs = jnp.repeat(freqs, 2)
+        phases = jnp.zeros((2 * cs.num_freqs,), x.dtype)
+        phases = phases.at[1::2].set(0.5 * jnp.pi)
+        emb = jnp.sin(coded[..., None, :] * freqs[:, None] + phases[:, None])
+        emb = emb.reshape(*coded.shape[:-1], 2 * cs.num_freqs * cs.d_coded)
+        parts = ([coded] if cs.include_input else []) + [emb]
+        if cs.d_pass:
+            parts.append(x[..., cs.d_coded :])
+        return jnp.concatenate(parts, axis=-1)
 
     def _use_fused(self, x, z) -> bool:
         from avr_tpu.ops.pallas.resnetfc import supports
@@ -178,10 +204,15 @@ class ResnetFC(nn.Module):
                 n_lin_z=min(self.combine_layer, self.n_blocks),
                 compute_dtype=self.dtype,
                 interpret=jax.default_backend() == "cpu",
+                code=self.code_spec,
+                activate_out=self.activate_out,
             )
             return out.reshape(SB, B, self.d_out)
 
         act = _activation(self.beta)
+
+        if self.code_spec is not None:
+            x = self._apply_code(x)
 
         if self.d_in > 0:
             h = nn.Dense(
@@ -217,6 +248,11 @@ class ResnetFC(nn.Module):
         if not combined:
             h = _combine(h, self.combine_type, axis=1)
 
-        return nn.Dense(
+        out = nn.Dense(
             self.d_out, kernel_init=_kaiming, dtype=self.dtype, name="lin_out"
         )(act(h))
+        if self.activate_out:
+            out = jnp.concatenate(
+                [nn.sigmoid(out[..., :3]), nn.relu(out[..., 3:])], axis=-1
+            )
+        return out

@@ -286,12 +286,38 @@ class PixelNeRFNet(nn.Module):
                 )
             if mc.type != "resnet":
                 raise NotImplementedError(f"Unsupported MLP type {mc.type!r}")
+            # Fold the positional encoding and the sigmoid/relu output split
+            # into the decoder (in-kernel on the fused path): the module
+            # then takes *raw* [point-feature | viewdirs] inputs and returns
+            # activated (rgb, sigma).  See _query's fused-head branch.
+            code_spec = None
+            if cfg.use_code:
+                from avr_tpu.ops.pallas.resnetfc import CodeSpec
+
+                d_base = 3 if cfg.use_xyz else 1
+                if cfg.use_viewdirs and cfg.use_code_viewdirs:
+                    code_spec = CodeSpec(
+                        num_freqs=cfg.code.num_freqs,
+                        freq_factor=cfg.code.freq_factor,
+                        include_input=cfg.code.include_input,
+                        d_coded=d_base + 3, d_pass=0,
+                    )
+                else:
+                    code_spec = CodeSpec(
+                        num_freqs=cfg.code.num_freqs,
+                        freq_factor=cfg.code.freq_factor,
+                        include_input=cfg.code.include_input,
+                        d_coded=d_base,
+                        d_pass=3 if cfg.use_viewdirs else 0,
+                    )
             return ResnetFC(
                 d_in=self.d_in, d_out=4, n_blocks=mc.n_blocks,
                 d_latent=self.d_latent, d_hidden=mc.d_hidden, bn=cfg.bn,
                 beta=mc.beta, combine_layer=mc.combine_layer,
                 combine_type=mc.combine_type, use_spade=mc.use_spade,
-                fused=cfg.fused_mlp, dtype=self.dtype, name=name,
+                fused=cfg.fused_mlp, code_spec=code_spec,
+                activate_out=code_spec is not None,
+                dtype=self.dtype, name=name,
             )
 
         self.mlp_coarse = _make_mlp(cfg.mlp_coarse, "mlp_coarse")
@@ -395,25 +421,40 @@ class PixelNeRFNet(nn.Module):
         xyz_rot = jnp.einsum("snij,sbj->snbi", R, xyz, precision="highest")
         xyz_cam = xyz_rot + t[:, :, None, :]  # (SB, NS, B, 3)
 
-        # Point feature.
+        # Point feature (raw).
         if cfg.use_xyz:
-            z_feature = xyz_rot if cfg.normalize_z else xyz_cam
+            raw_feature = xyz_rot if cfg.normalize_z else xyz_cam
         else:
             src = xyz_rot if cfg.normalize_z else xyz_cam
-            z_feature = -src[..., 2:3]
+            raw_feature = -src[..., 2:3]
 
-        if cfg.use_code and not cfg.use_code_viewdirs:
-            with jax.named_scope("positional_enc"):
-                z_feature = self.code(z_feature)
+        # The decoder owns the positional encoding + output activation when
+        # it carries a code_spec (in-kernel on the fused path): feed it the
+        # raw [feature | viewdirs] lanes.  Static decision — same params
+        # either way, the encoding just changes *where* it is computed.
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
+        fused_head = getattr(mlp, "code_spec", None) is not None
 
+        vd = None
         if cfg.use_viewdirs:
             assert viewdirs is not None
             vd = jnp.einsum("snij,sbj->snbi", R, viewdirs, precision="highest")
-            z_feature = jnp.concatenate([z_feature, vd], axis=-1)
 
-        if cfg.use_code and cfg.use_code_viewdirs:
-            with jax.named_scope("positional_enc"):
-                z_feature = self.code(z_feature)
+        if fused_head:
+            z_feature = (
+                jnp.concatenate([raw_feature, vd], axis=-1)
+                if cfg.use_viewdirs else raw_feature
+            )
+        else:
+            z_feature = raw_feature
+            if cfg.use_code and not cfg.use_code_viewdirs:
+                with jax.named_scope("positional_enc"):
+                    z_feature = self.code(z_feature)
+            if cfg.use_viewdirs:
+                z_feature = jnp.concatenate([z_feature, vd], axis=-1)
+            if cfg.use_code and cfg.use_code_viewdirs:
+                with jax.named_scope("positional_enc"):
+                    z_feature = self.code(z_feature)
 
         latent = None
         if cfg.use_encoder:
@@ -466,10 +507,12 @@ class PixelNeRFNet(nn.Module):
             g = jnp.broadcast_to(g, (SB, NS, B, g.shape[-1]))
             z = g if z is None else jnp.concatenate([g, z], axis=-1)
 
-        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         with jax.named_scope("resnetfc_infer"):
             out = mlp(z_feature, z, train=train)  # (SB, B, 4)
 
+        if fused_head:
+            # the module applied sigmoid(rgb)/relu(sigma) itself
+            return out.astype(jnp.float32)
         rgb = nn.sigmoid(out[..., :3])
         sigma = nn.relu(out[..., 3:4])
         # Outputs in fp32 regardless of compute dtype: the compositing

@@ -215,9 +215,11 @@ class RadFieldRenderer(nn.Module):
         compute_dtype = self.dtype
 
         def march_fn(k, ros, rds):
+            # drawn 2D (matches renderers/raymarch.py): trailing-1 layouts
+            # run the RNG chain slowly on the VPU
             init_distance = cfg.init_distance_mean + (
                 cfg.init_distance_std
-                * jax.random.normal(k, ros.shape[:2] + (1,), jnp.float32)
+                * jax.random.normal(k, ros.shape[:2], jnp.float32)[..., None]
             )
             coords0 = ros + rds * init_distance
 

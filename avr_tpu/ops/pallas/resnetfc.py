@@ -43,6 +43,18 @@ Numerics: the residual trunk ``h`` is carried in fp32 — strictly tighter
 than the unfused bf16 path.  Parity with the Flax module (both values and
 grads) is pinned in ``tests/test_pallas_resnetfc.py`` via interpret mode.
 
+Fused field-query prologue/epilogue (round 2): the decoder's pointwise
+neighbours — the NeRF positional encoding feeding ``lin_in`` (reference
+models.py:791-793 -> 41-87) and the ``sigmoid(rgb)/relu(sigma)`` output
+split (models.py:856-862) — are folded into the kernel when the caller
+passes a :class:`CodeSpec` / ``activate_out=True``.  Outside the kernel
+they cost a dozen small XLA fusions and layout copies per step (PERF.md
+"glue" lever); inside they are one exact one-hot MXU selection
+(``t = (p @ S0) * F + PH``; S0 is 0/1 so the selection is bitwise-exact in
+any matmul precision) plus a VPU ``sin``, and the backward chains
+``cos``/``sigmoid'`` in VMEM.  The kernel's HBM x-traffic drops from the
+encoded width (42 fp32/point/view) to the raw width (6).
+
 Restrictions (callers gate on these and fall back to the Flax path):
 ReLU activation (beta == 0), no BatchNorm, average combine for NS > 1,
 d_latent > 0, d_in > 0, d_hidden a multiple of 128.
@@ -51,16 +63,77 @@ d_latent > 0, d_in > 0, d_hidden a multiple of 128.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_resnetfc", "supports"]
+__all__ = ["fused_resnetfc", "supports", "CodeSpec"]
 
 _BLK_FWD = 2048  # points per forward grid step (divided by NS)
 _BLK_BWD = 2048  # points per backward grid step (divided by NS)
+
+
+@dataclass(frozen=True)
+class CodeSpec:
+    """Static description of the in-kernel positional encoding.
+
+    The raw kernel input is ``[coded dims | passthrough dims]`` (e.g. the
+    rotated xyz followed by the rotated viewdirs when the reference's
+    ``use_code_viewdirs`` is off, models.py:773-793).  The encoded layout
+    matches ``avr_tpu.models.code.PositionalEncoding`` exactly: optional
+    raw coded dims, then ``sin(f_k x + phase_k)`` interleaved as channel
+    ``k * d_coded + d`` (reference models.py:56-76), then the passthrough.
+    """
+
+    num_freqs: int
+    freq_factor: float
+    include_input: bool
+    d_coded: int
+    d_pass: int = 0
+
+    @property
+    def d_raw(self) -> int:
+        return self.d_coded + self.d_pass
+
+    @property
+    def sin_lo(self) -> int:
+        return self.d_coded if self.include_input else 0
+
+    @property
+    def sin_hi(self) -> int:
+        return self.sin_lo + 2 * self.num_freqs * self.d_coded
+
+    @property
+    def d_enc(self) -> int:
+        return self.sin_hi + self.d_pass
+
+    def matrices(self):
+        """(S0, F, PH): ``enc = select(sin((p @ S0) * F + PH), p @ S0)``.
+
+        S0 is one-hot (d_raw, d_enc) — the lane "gather" is an exact MXU
+        contraction at any precision; F scales the sin lanes by the
+        frequency, PH carries the pi/2 phases that turn sin into cos on
+        odd slots (the reference's single-sin trick, models.py:72-74).
+        """
+        dc, dp, nf = self.d_coded, self.d_pass, self.num_freqs
+        s0 = np.zeros((self.d_raw, self.d_enc), np.float32)
+        f = np.ones((self.d_enc,), np.float32)
+        ph = np.zeros((self.d_enc,), np.float32)
+        if self.include_input:
+            s0[np.arange(dc), np.arange(dc)] = 1.0
+        for k in range(2 * nf):
+            cols = self.sin_lo + k * dc + np.arange(dc)
+            s0[np.arange(dc), cols] = 1.0
+            f[cols] = self.freq_factor * 2.0 ** (k // 2)
+            ph[cols] = (k % 2) * (np.pi / 2.0)
+        if dp:
+            s0[dc + np.arange(dp), self.sin_hi + np.arange(dp)] = 1.0
+        return s0, f.reshape(1, -1), ph.reshape(1, -1)
 
 
 def supports(*, n_blocks: int, n_lin_z: int, d_hidden: int, d_latent: int,
@@ -78,9 +151,26 @@ def supports(*, n_blocks: int, n_lin_z: int, d_hidden: int, d_latent: int,
     )
 
 
-def _fwd_kernel(x_ref, z_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref, b0_ref,
-                w1_ref, b1_ref, wo_ref, bo_ref, out_ref, *, n_blocks, n_lin_z,
-                ns, compute_dtype):
+def _encode(p, code_refs, sin_lo, sin_hi):
+    """In-kernel positional encoding: exact one-hot lane select + VPU sin.
+
+    Returns ``(enc, t)`` where ``t`` is the fp32 pre-sin argument (the
+    backward reuses it for the ``cos`` chain).  The one-hot selects run at
+    HIGHEST precision: Mosaic's default single-pass rounds f32 operands to
+    bf16, which would corrupt the coordinates *before* the frequency
+    multiply (sin phase error up to ~0.4 at the top frequency).
+    """
+    s0_ref, f_ref, ph_ref = code_refs
+    t = jnp.dot(p, s0_ref[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    t = t * f_ref[...] + ph_ref[...]
+    col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    return jnp.where((col >= sin_lo) & (col < sin_hi), jnp.sin(t), t), t
+
+
+def _fwd_impl(x_ref, z_ref, code_refs, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
+              b0_ref, w1_ref, b1_ref, wo_ref, bo_ref, out_ref, *, n_blocks,
+              n_lin_z, ns, compute_dtype, sin_lo, sin_hi, epilogue):
     cd = compute_dtype
 
     def run_block(h, k):
@@ -94,7 +184,10 @@ def _fwd_kernel(x_ref, z_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref, b0_ref,
     # per-view stream: lin_in + the injected pre-pool blocks
     h_sum = None
     for v in range(ns):
-        x = x_ref[v].astype(cd)
+        p = x_ref[v][...].astype(jnp.float32)
+        if code_refs is not None:
+            p, _ = _encode(p, code_refs, sin_lo, sin_hi)
+        x = p.astype(cd)
         z = z_ref[v].astype(cd)
         h = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
         h = h + bi_ref[...].astype(jnp.float32)  # fp32 trunk
@@ -109,19 +202,30 @@ def _fwd_kernel(x_ref, z_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref, b0_ref,
         h = run_block(h, k)
     a = jnp.maximum(h, 0.0).astype(cd)
     out = jnp.dot(a, wo_ref[...], preferred_element_type=jnp.float32)
-    out_ref[...] = (out + bo_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+    out = out + bo_ref[...].astype(jnp.float32)
+    if epilogue:
+        # sigmoid(rgb) / relu(sigma) output split (reference models.py:856-862)
+        col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        out = jnp.where(col < 3, jax.nn.sigmoid(out), jnp.maximum(out, 0.0))
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
-                b0_ref, w1_ref, b1_ref,
-                wiT_ref, wzT_ref, w0T_ref, w1T_ref, woT_ref,
-                dx_ref, dz_ref, dwi_ref, dbi_ref, dwz_ref, dbz_ref, dw0_ref,
-                db0_ref, dw1_ref, db1_ref, dwo_ref, dbo_ref, *, n_blocks,
-                n_lin_z, ns, compute_dtype):
+def _fwd_plain(x_ref, z_ref, *rest, **kw):
+    return _fwd_impl(x_ref, z_ref, None, *rest, **kw)
+
+
+def _fwd_coded(x_ref, z_ref, s0_ref, f_ref, ph_ref, *rest, **kw):
+    return _fwd_impl(x_ref, z_ref, (s0_ref, f_ref, ph_ref), *rest, **kw)
+
+
+def _bwd_impl(x_ref, z_ref, code_refs, g_ref, wi_ref, bi_ref, wz_ref, bz_ref,
+              w0_ref, b0_ref, w1_ref, b1_ref, wo_ref, bo_ref,
+              wiT_ref, wzT_ref, w0T_ref, w1T_ref, woT_ref,
+              dx_ref, dz_ref, dwi_ref, dbi_ref, dwz_ref, dbz_ref, dw0_ref,
+              db0_ref, dw1_ref, db1_ref, dwo_ref, dbo_ref, *, n_blocks,
+              n_lin_z, ns, compute_dtype, sin_lo, sin_hi, epilogue):
     cd = compute_dtype
     i = pl.program_id(0)
-
-    g = g_ref[...].astype(jnp.float32)
 
     # --- recompute forward, stashing post-ReLU activations in bf16 --------
     # (the cd-cast values are exactly what the matmuls consumed; the ReLU
@@ -136,11 +240,15 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
         dx = jnp.dot(a2, w1_ref[k], preferred_element_type=jnp.float32)
         return h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
 
-    xs, zs = [], []
+    xs, zs, ts = [], [], []
     pre_a1, pre_a2 = [], []  # per view: lists of pre-pool activations
     h_sum = None
     for v in range(ns):
-        x = x_ref[v].astype(cd)
+        p = x_ref[v][...].astype(jnp.float32)
+        if code_refs is not None:
+            p, t = _encode(p, code_refs[:3], sin_lo, sin_hi)
+            ts.append(t)  # fp32 pre-sin args, reused for the cos chain
+        x = p.astype(cd)
         z = z_ref[v].astype(cd)
         xs.append(x)
         zs.append(z)
@@ -160,6 +268,19 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
     for k in range(n_lin_z, n_blocks):
         h = fwd_block(h, k, post_a1, post_a2)
     h_final = h
+
+    g = g_ref[...].astype(jnp.float32)
+    if epilogue:
+        # chain through sigmoid(rgb)/relu(sigma): recompute the
+        # pre-activation output with the forward's exact ops
+        aout0 = jnp.maximum(h_final, 0.0).astype(cd)
+        out_pre = jnp.dot(aout0, wo_ref[...], preferred_element_type=jnp.float32)
+        out_pre = out_pre + bo_ref[...].astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, out_pre.shape, 1)
+        s = jax.nn.sigmoid(out_pre)
+        g = jnp.where(
+            col < 3, g * s * (1.0 - s), jnp.where(out_pre > 0.0, g, 0.0)
+        )
 
     def contract_t(a, b):
         # (BLK, M)^T @ (BLK, N) -> (M, N): bf16 operands, fp32 MXU accumulate
@@ -224,10 +345,29 @@ def _bwd_kernel(x_ref, z_ref, g_ref, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
 
         dwi_ref[...] += contract_t(xs[v], gh)
         dbi_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
-        dx_ref[v] = jnp.dot(gh.astype(cd), wiT_ref[...],
-                            preferred_element_type=jnp.float32).astype(
-                                dx_ref.dtype)
+        genc = jnp.dot(gh.astype(cd), wiT_ref[...],
+                       preferred_element_type=jnp.float32)
+        if code_refs is not None:
+            # chain through sin: d/dt = cos on the sin lanes, identity on
+            # the raw/passthrough lanes; then the exact one-hot unselect
+            _, _, _, s0T_ref = code_refs
+            col = jax.lax.broadcasted_iota(jnp.int32, genc.shape, 1)
+            f_row = code_refs[1][...]
+            dt = genc * jnp.where(
+                (col >= sin_lo) & (col < sin_hi), jnp.cos(ts[v]) * f_row, 1.0
+            )
+            genc = jnp.dot(dt, s0T_ref[...], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        dx_ref[v] = genc.astype(dx_ref.dtype)
         dz_ref[v] = dz.astype(dz_ref.dtype)
+
+
+def _bwd_plain(x_ref, z_ref, *rest, **kw):
+    return _bwd_impl(x_ref, z_ref, None, *rest, **kw)
+
+
+def _bwd_coded(x_ref, z_ref, s0_ref, f_ref, ph_ref, s0T_ref, *rest, **kw):
+    return _bwd_impl(x_ref, z_ref, (s0_ref, f_ref, ph_ref, s0T_ref), *rest, **kw)
 
 
 def _pad_rows(a, n_pad):
@@ -243,15 +383,52 @@ _blocked = lambda i: (0, i, 0)
 @functools.lru_cache(maxsize=None)
 def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
                 d_latent: int, d_hidden: int, d_out: int, compute_dtype,
-                interpret: bool):
-    """Build (and cache) the custom-VJP fused decoder for one static config."""
+                interpret: bool, code=None, epilogue: bool = False):
+    """Build (and cache) the custom-VJP fused decoder for one static config.
+
+    ``d_in`` is the width of the ``x`` operand as passed by the caller: the
+    already-encoded width when ``code is None``, else the *raw* width (the
+    kernel encodes in VMEM and ``lin_in`` consumes ``code.d_enc`` lanes).
+    """
     cd = compute_dtype
     blk_fwd = max(_BLK_FWD // ns, 512)
-    blk_bwd = max(_BLK_BWD // ns, 512)
+    blk_bwd = _BLK_BWD
+    if code is not None and n_lin_z >= 4:
+        # every-block injection (combine_layer >= n_blocks) carries ~6 MB
+        # more VMEM-resident weights/accumulators than the flagship
+        # n_lin_z=3 config; with the coded stash on top, 2048-point blocks
+        # measured 104.28M against the 100M scoped-vmem limit on v5e
+        blk_bwd = 1536
+    blk_bwd = max(blk_bwd // ns, 512)
+    d_enc = code.d_enc if code is not None else d_in
+    sin_lo = code.sin_lo if code is not None else 0
+    sin_hi = code.sin_hi if code is not None else 0
+    if code is not None:
+        assert code.d_raw == d_in
+        # kept as NUMPY: this factory is lru_cached, and a jnp constant
+        # created during the first (traced) call would bake that trace's
+        # tracer into the closure and leak into later traces.  pallas_call
+        # converts numpy operands per-trace.
+        s0_np, f_np, ph_np = code.matrices()
+        code_arrays = (s0_np, f_np, ph_np)
+        code_arrays_bwd = code_arrays + (np.ascontiguousarray(s0_np.T),)
+        code_specs = [
+            pl.BlockSpec((d_in, d_enc), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_enc), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_enc), _full, memory_space=pltpu.VMEM),
+        ]
+        code_specs_bwd = code_specs + [
+            pl.BlockSpec((d_enc, d_in), _full, memory_space=pltpu.VMEM),
+        ]
+    else:
+        code_arrays, code_arrays_bwd = (), ()
+        code_specs, code_specs_bwd = [], []
+    kw = dict(n_blocks=n_blocks, n_lin_z=n_lin_z, ns=ns, compute_dtype=cd,
+              sin_lo=sin_lo, sin_hi=sin_hi, epilogue=epilogue)
 
     def weight_specs():
         return [
-            pl.BlockSpec((d_in, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_enc, d_hidden), _full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_lin_z, d_latent, d_hidden), _full3,
                          memory_space=pltpu.VMEM),
@@ -269,7 +446,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
     def weight_t_specs():
         # pre-transposed copies used by the backward's dgrad chain
         return [
-            pl.BlockSpec((d_hidden, d_in), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_hidden, d_enc), _full, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_lin_z, d_hidden, d_latent), _full3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
@@ -281,7 +458,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
 
     mm = 2 * d_hidden * d_hidden * (
         ns * (2 * n_lin_z + n_lin_z) + 2 * (n_blocks - n_lin_z)
-    ) + 2 * ns * d_in * d_hidden
+    ) + 2 * ns * d_enc * d_hidden
 
     def _forward(x, z, *params):
         # x, z: (NS, N, d)
@@ -290,14 +467,15 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
         xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
         cparams = [p.astype(cd) for p in params]
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
-                              ns=ns, compute_dtype=cd),
+            functools.partial(_fwd_coded if code is not None else _fwd_plain,
+                              **kw),
             grid=(n_pad // blk_fwd,),
             in_specs=[
                 pl.BlockSpec((ns, blk_fwd, d_in), _blocked,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ns, blk_fwd, d_latent), _blocked,
                              memory_space=pltpu.VMEM),
+                *code_specs,
                 *weight_specs(),
             ],
             out_specs=pl.BlockSpec((blk_fwd, d_out), lambda i: (i, 0),
@@ -310,7 +488,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
             cost_estimate=pl.CostEstimate(
                 flops=n_pad * mm, bytes_accessed=0, transcendentals=0,
             ),
-        )(xp, zp, *cparams)
+        )(xp, zp, *code_arrays, *cparams)
         return out[:n]
 
     @jax.custom_vjp
@@ -329,7 +507,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
         if n != n_pad:
             gp = jnp.pad(gp, ((0, n_pad - n), (0, 0)))
         wi, bi, wz, bz, w0, b0, w1, b1, wo, bo = params
-        cparams = [p.astype(cd) for p in (wi, bi, wz, bz, w0, b0, w1, b1)]
+        cparams = [p.astype(cd) for p in params]
         # Transposes computed ONCE here (cheap XLA transposes in HBM) so the
         # kernel's dgrad chain is all plain A @ B on the MXU.
         tparams = [
@@ -342,17 +520,18 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
 
         f32 = jnp.float32
         outs = pl.pallas_call(
-            functools.partial(_bwd_kernel, n_blocks=n_blocks, n_lin_z=n_lin_z,
-                              ns=ns, compute_dtype=cd),
+            functools.partial(_bwd_coded if code is not None else _bwd_plain,
+                              **kw),
             grid=(n_pad // blk_bwd,),
             in_specs=[
                 pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
                              memory_space=pltpu.VMEM),
+                *code_specs_bwd,
                 pl.BlockSpec((blk_bwd, d_out), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                *weight_specs()[:-2],
+                *weight_specs(),
                 *weight_t_specs(),
             ],
             out_specs=[
@@ -360,7 +539,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_in, d_hidden), _full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_enc, d_hidden), _full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_lin_z, d_latent, d_hidden), _full3,
                              memory_space=pltpu.VMEM),
@@ -377,7 +556,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
             out_shape=[
                 jax.ShapeDtypeStruct((ns, n_pad, d_in), f32),
                 jax.ShapeDtypeStruct((ns, n_pad, d_latent), f32),
-                jax.ShapeDtypeStruct((d_in, d_hidden), f32),
+                jax.ShapeDtypeStruct((d_enc, d_hidden), f32),
                 jax.ShapeDtypeStruct((1, d_hidden), f32),
                 jax.ShapeDtypeStruct((n_lin_z, d_latent, d_hidden), f32),
                 jax.ShapeDtypeStruct((n_lin_z, d_hidden), f32),
@@ -395,7 +574,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
             cost_estimate=pl.CostEstimate(
                 flops=3 * n_pad * mm, bytes_accessed=0, transcendentals=0,
             ),
-        )(xp, zp, gp, *cparams, *tparams)
+        )(xp, zp, *code_arrays_bwd, gp, *cparams, *tparams)
 
         dx, dz, dwi, dbi, dwz, dbz, dw0, db0, dw1, db1, dwo, dbo = outs
         cast = lambda grad, p: grad.astype(p.dtype)
@@ -413,14 +592,20 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
 
 
 def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
-                   compute_dtype=jnp.bfloat16, interpret: bool = False):
+                   compute_dtype=jnp.bfloat16, interpret: bool = False,
+                   code: CodeSpec | None = None, activate_out: bool = False):
     """Apply the fused decoder.
 
     Args:
-      x: ``(N, d_in)`` or ``(NS, N, d_in)`` point features.
+      x: ``(N, d_in)`` or ``(NS, N, d_in)`` point features — already
+        encoded, or *raw* (``code.d_raw`` wide) when ``code`` is given (the
+        positional encoding then runs inside the kernel).
       z: ``(N, d_latent)`` or ``(NS, N, d_latent)`` conditioning latents.
       params: the Flax ``ResnetFC`` param subtree (``lin_in``, ``lin_z_k``,
         ``block_k/fc_0|fc_1``, ``lin_out`` Dense kernels/biases).
+      code: optional :class:`CodeSpec` for the in-kernel prologue.
+      activate_out: apply ``sigmoid(rgb)/relu(sigma)`` in-kernel
+        (requires ``d_out == 4``).
 
     With an NS axis, the cross-view mean pool runs in-kernel after block
     ``n_lin_z - 1`` (= min(combine_layer, n_blocks) pre-pool blocks).
@@ -447,8 +632,11 @@ def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
     wo = params["lin_out"]["kernel"]
     bo = params["lin_out"]["bias"][None, :]
 
+    if activate_out and wo.shape[-1] != 4:
+        raise ValueError("activate_out requires d_out == 4 (rgb + sigma)")
     fn = _make_fused(
         n_blocks, n_lin_z, ns, x.shape[-1], z.shape[-1], wi.shape[-1],
         wo.shape[-1], jnp.dtype(compute_dtype).type, interpret,
+        code, activate_out,
     )
     return fn(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)

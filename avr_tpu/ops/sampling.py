@@ -24,10 +24,31 @@ rays axis free to be sharded across the mesh.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["sample_coarse", "sample_fine", "sample_depth"]
+
+
+def _uniform_2d(key, shape, dtype=jnp.float32):
+    """Uniform draw generated in a flat 2D ``(lead, rest)`` layout.
+
+    The samplers want ``(SB, R, n)`` with n ~ 20-32: the VPU processes the
+    RNG's bits->float chain slowly in trailing-n / flattened-1D layouts
+    (~2 ms/step at benchmark shapes, PERF.md lever 5).  Drawing
+    ``(SB, R*n)`` and reshaping keeps the chain on (8, 128)-tiled vregs;
+    the reshape itself is free (same linear order).
+    """
+    flat = (shape[0], int(np.prod(shape[1:]))) if len(shape) > 2 else shape
+    return jax.random.uniform(key, flat, dtype=dtype).reshape(shape)
+
+
+def _normal_2d(key, shape, dtype=jnp.float32):
+    """Normal draw in a flat 2D layout (see :func:`_uniform_2d`)."""
+    flat = (shape[0], int(np.prod(shape[1:]))) if len(shape) > 2 else shape
+    return jax.random.normal(key, flat, dtype=dtype).reshape(shape)
 
 
 def sample_coarse(
@@ -46,7 +67,7 @@ def sample_coarse(
     steps = jnp.arange(num_samples, dtype=jnp.float32) / num_samples
     span = far - near  # (SB, R)
     z_vals = near[..., None] + span[..., None] * steps  # (SB, R, n)
-    jitter = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+    jitter = _uniform_2d(key, z_vals.shape, z_vals.dtype)
     z_vals = z_vals + jitter * span[..., None] / num_samples
     if infinity != -1.0:
         tail = jnp.full_like(z_vals[..., :1], infinity)
@@ -80,12 +101,12 @@ def sample_fine(
 
     k_u, k_jitter = jax.random.split(key)
     u_shape = weights.shape[:-1] + (num_samples,)
-    u = jax.random.uniform(k_u, u_shape, dtype=jnp.float32)
+    u = _uniform_2d(k_u, u_shape)
     # searchsorted is along the last axis; vmap over the leading dims.
     inds = jax.vmap(jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right")))(cdf, u)
     inds = jnp.maximum(inds.astype(jnp.float32) - 1.0, 0.0)
 
-    z_steps = (inds + jax.random.uniform(k_jitter, u_shape, dtype=jnp.float32)) / n_coarse
+    z_steps = (inds + _uniform_2d(k_jitter, u_shape)) / n_coarse
     return near[..., None] + (far - near)[..., None] * z_steps
 
 
@@ -106,7 +127,7 @@ def sample_depth(
     Returns ``(SB, R, num_samples)``.
     """
     SB, R, _ = depth.shape
-    noise = jax.random.normal(key, (SB, R, num_samples), dtype=jnp.float32) * depth_std
+    noise = _normal_2d(key, (SB, R, num_samples)) * depth_std
     if mode == "reference":
         return noise
     if mode == "intended":

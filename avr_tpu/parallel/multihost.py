@@ -81,14 +81,21 @@ def gather_metrics(metrics: Dict[str, float]) -> Dict[str, float]:
 
 
 def assemble_eval_image(sharded_rgb) -> np.ndarray:
-    """Materialize a (possibly rays-sharded) render on every host."""
-    if jax.process_count() == 1:
-        return np.asarray(sharded_rgb)
-    from jax.experimental import multihost_utils
+    """Materialize a (possibly rays-sharded) render on every host.
 
-    return np.asarray(
-        multihost_utils.global_array_to_host_local_array(
-            sharded_rgb, sharded_rgb.sharding.mesh,
-            jax.sharding.PartitionSpec(),
+    Reshards to fully-replicated over the array's mesh — an all-gather
+    over ICI/DCN under jit — after which every host's addressable shards
+    hold the complete image and ``np.asarray`` succeeds everywhere.  The
+    same code path runs single-process (testable on the virtual mesh) and
+    multi-host.
+    """
+    sharding = getattr(sharded_rgb, "sharding", None)
+    if (
+        isinstance(sharding, jax.sharding.NamedSharding)
+        and not sharding.is_fully_replicated
+    ):
+        rep = jax.sharding.NamedSharding(
+            sharding.mesh, jax.sharding.PartitionSpec()
         )
-    )
+        sharded_rgb = jax.jit(lambda x: x, out_shardings=rep)(sharded_rgb)
+    return np.asarray(sharded_rgb)

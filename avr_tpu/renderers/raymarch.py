@@ -63,9 +63,11 @@ def lstm_march(
     from avr_tpu.renderers.lstm import clamp_grad
 
     SB, R, _ = ros.shape
+    # drawn 2D: trailing-1 layouts run the RNG chain slowly on the VPU
+    # (same stream as the fused-march wrapper so the paths stay comparable)
     init_distance = init_mean + init_std * jax.random.normal(
-        key, (SB, R, 1), jnp.float32
-    )
+        key, (SB, R), jnp.float32
+    )[..., None]
     coords0 = ros + rds * init_distance
     h0 = jnp.zeros((SB, R, hidden_size), jnp.float32)
     c0 = jnp.zeros((SB, R, hidden_size), jnp.float32)

@@ -83,6 +83,11 @@ def main():
     else:
         renderer_cfg = AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"])
         loss_mode = "both"
+    # BENCH_EARLY_STOP=<eps>: per-block march early termination inside the
+    # fused kernel (BASELINE config 4, adaptive sample budget).  0 = off.
+    es = float(os.environ.get("BENCH_EARLY_STOP", "0"))
+    if es > 0 and hasattr(renderer_cfg, "early_stop_eps"):
+        renderer_cfg = dataclasses.replace(renderer_cfg, early_stop_eps=es)
     model = RadFieldRenderer(
         model_cfg=model_cfg,
         renderer_cfg=renderer_cfg,

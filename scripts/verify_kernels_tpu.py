@@ -113,6 +113,39 @@ def main():
     ok &= _check("fused decoder NS=2 fwd (vs Flax bf16)", outs_mv[1],
                  outs_mv[0], 5e-2, 5e-2)
 
+    # ---- fused decoder with in-kernel positional encoding + epilogue
+    # (raw [xyz | viewdirs] lanes in, activated (rgb, sigma) out)
+    from avr_tpu.ops.pallas.resnetfc import CodeSpec
+
+    spec = CodeSpec(num_freqs=6, freq_factor=1.5, include_input=True,
+                    d_coded=3, d_pass=3)
+    Nc = 24576
+    pc = jnp.asarray(
+        (0.7 * rng.normal(size=(1, 1, Nc, spec.d_raw))).astype(np.float32))
+    zc = jnp.asarray(rng.normal(size=(1, 1, Nc, D_L)).astype(np.float32))
+    outs_c, gin_c = [], []
+    for fused in ("never", "always"):
+        mod = ResnetFC(d_in=spec.d_enc, d_out=4, n_blocks=5, d_latent=D_L,
+                       d_hidden=D_H, combine_layer=1000, fused=fused,
+                       code_spec=spec, activate_out=True, dtype=jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(0), pc, zc)
+
+        def loss_c(p_, params_):
+            return jnp.sum(mod.apply(params_, p_, zc) ** 2)
+
+        outs_c.append(jax.jit(mod.apply)(params, pc, zc))
+        gin_c.append(jax.jit(jax.grad(loss_c))(pc, params))
+    ok &= _check("fused decoder code+epilogue fwd (vs Flax bf16)",
+                 outs_c[1], outs_c[0], 5e-2, 5e-2)
+    a = np.asarray(gin_c[1], np.float64).ravel()
+    b = np.asarray(gin_c[0], np.float64).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+    if cos < 0.98:
+        print(f"FAIL  coded decoder d-input cos={cos:.4f}")
+        ok = False
+    else:
+        print(f"PASS  coded decoder d-input (cosine {cos:.4f} vs Flax bf16)")
+
     # ---- fused march (f32 compute so the jnp reference is exact-ish).
     # Checked at 2 steps: the march is a chaotic recurrence (LSTM + discrete
     # bilinear tap boundaries), so ~1e-7 per-step differences between the

@@ -137,3 +137,124 @@ def test_fused_multiview_max_combine_falls_back(setup):
     ref = make("never").apply(variables, x2, z2)
     out = make("always").apply(variables, x2, z2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel positional-encoding prologue + sigmoid/relu epilogue (round 2):
+# the kernel takes raw [coded | passthrough] lanes and returns activated
+# (rgb, sigma); the Flax fallback (_apply_code + activate_out) is the oracle.
+# ---------------------------------------------------------------------------
+
+from avr_tpu.ops.pallas.resnetfc import CodeSpec
+
+_SPEC = CodeSpec(num_freqs=6, freq_factor=1.5, include_input=True,
+                 d_coded=3, d_pass=3)
+
+
+def _make_coded(fused, dtype=jnp.float32):
+    return ResnetFC(
+        d_in=_SPEC.d_enc, d_out=4, n_blocks=N_BLOCKS, d_latent=D_LATENT,
+        d_hidden=D_HIDDEN, combine_layer=COMBINE, fused=fused,
+        code_spec=_SPEC, activate_out=True, dtype=dtype,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup_coded():
+    rng = np.random.default_rng(23)
+    SB, NS, B = 2, 1, 37
+    p = jnp.asarray(rng.normal(size=(SB, NS, B, _SPEC.d_raw)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(SB, NS, B, D_LATENT)).astype(np.float32))
+    variables = _make_coded("never").init(jax.random.PRNGKey(0), p, z)
+    variables = jax.tree.map(
+        lambda a: a + 0.01 * jnp.asarray(rng.normal(size=a.shape), a.dtype),
+        variables,
+    )
+    return variables, p, z
+
+
+def test_coded_param_shapes(setup_coded):
+    variables, _, _ = setup_coded
+    # lin_in consumes the *encoded* width even though inputs are raw
+    assert variables["params"]["lin_in"]["kernel"].shape == (_SPEC.d_enc, D_HIDDEN)
+    assert _SPEC.d_enc == 3 + 2 * 6 * 3 + 3  # input + sin/cos + viewdirs
+
+
+@pytest.mark.parametrize("NS", [1, 2])
+def test_coded_forward_matches_flax(setup_coded, NS):
+    variables, p, z = setup_coded
+    rng = np.random.default_rng(29 + NS)
+    SB, _, B, _ = p.shape
+    pm = jnp.asarray(rng.normal(size=(SB, NS, B, _SPEC.d_raw)).astype(np.float32))
+    zm = jnp.asarray(rng.normal(size=(SB, NS, B, D_LATENT)).astype(np.float32))
+    ref = _make_coded("never").apply(variables, pm, zm)
+    out = _make_coded("always").apply(variables, pm, zm)
+    assert out.shape == ref.shape == (SB, B, 4)
+    # activated outputs: rgb in (0, 1), sigma >= 0
+    assert float(jnp.min(out[..., 3])) >= 0.0
+    assert 0.0 < float(jnp.min(out[..., :3])) and float(jnp.max(out[..., :3])) < 1.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("NS", [1, 2])
+def test_coded_grads_match_flax(setup_coded, NS):
+    variables, p, z = setup_coded
+    rng = np.random.default_rng(31 + NS)
+    SB, _, B, _ = p.shape
+    pm = jnp.asarray(rng.normal(size=(SB, NS, B, _SPEC.d_raw)).astype(np.float32))
+    zm = jnp.asarray(rng.normal(size=(SB, NS, B, D_LATENT)).astype(np.float32))
+
+    def loss(fused, variables, p_, z_):
+        out = _make_coded(fused).apply(variables, p_, z_)
+        return jnp.sum(jnp.sin(3.0 * out))
+
+    g_ref = jax.grad(lambda v, a, b: loss("never", v, a, b), argnums=(0, 1, 2))(
+        variables, pm, zm
+    )
+    g_fus = jax.grad(lambda v, a, b: loss("always", v, a, b), argnums=(0, 1, 2))(
+        variables, pm, zm
+    )
+    flat_ref, _ = jax.tree.flatten(g_ref)
+    flat_fus, _ = jax.tree.flatten(g_fus)
+    assert len(flat_ref) == len(flat_fus)
+    # the top positional-encoding frequency (freq_factor * 2^5 = 48) scales
+    # f32 rounding in the cos chain into the input cotangent — tolerance is
+    # relative to that amplification
+    for a, b in zip(flat_ref, flat_fus):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3
+        )
+
+
+def test_coded_code_viewdirs_variant():
+    """use_code_viewdirs=True layout: all 6 lanes coded, none passed through
+    (reference models.py:773-775)."""
+    spec = CodeSpec(num_freqs=2, freq_factor=1.5, include_input=True,
+                    d_coded=6, d_pass=0)
+    rng = np.random.default_rng(37)
+    p = jnp.asarray(rng.normal(size=(1, 1, 16, 6)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(1, 1, 16, D_LATENT)).astype(np.float32))
+
+    def make(fused):
+        return ResnetFC(
+            d_in=spec.d_enc, d_out=4, n_blocks=N_BLOCKS, d_latent=D_LATENT,
+            d_hidden=D_HIDDEN, combine_layer=COMBINE, fused=fused,
+            code_spec=spec, activate_out=True,
+        )
+
+    variables = make("never").init(jax.random.PRNGKey(1), p, z)
+    ref = make("never").apply(variables, p, z)
+    out = make("always").apply(variables, p, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_coded_kernel_reuse_across_jits(setup_coded):
+    """The lru-cached kernel factory must not bake one trace's constants
+    into another (regression: jnp code matrices created inside the first
+    jit leaked as tracers into the second)."""
+    variables, p, z = setup_coded
+    mod = _make_coded("always")
+    out1 = jax.jit(mod.apply)(variables, p, z)
+    g = jax.jit(jax.grad(lambda v: jnp.sum(mod.apply(v, p, z) ** 2)))(variables)
+    assert jnp.all(jnp.isfinite(out1))
+    assert all(jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(g))

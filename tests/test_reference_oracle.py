@@ -54,9 +54,12 @@ def _queue_uniform(monkeypatch, arrays):
     queue = [jnp.asarray(a, dtype=jnp.float32) for a in arrays]
 
     def fake_uniform(key, shape=(), dtype=jnp.float32, **kw):
+        # the samplers draw in a flat 2D layout and reshape (VPU-friendly
+        # RNG, ops/sampling.py); linear order is identical, so serve the
+        # queued array reshaped to whatever layout was requested
         a = queue.pop(0)
-        assert tuple(a.shape) == tuple(shape), (a.shape, shape)
-        return a.astype(dtype)
+        assert int(np.prod(a.shape)) == int(np.prod(shape)), (a.shape, shape)
+        return a.reshape(shape).astype(dtype)
 
     monkeypatch.setattr(jax.random, "uniform", fake_uniform)
 
