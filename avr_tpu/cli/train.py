@@ -85,6 +85,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(XLA RngBitGenerator; threefry costs ~2 ms/step in "
                         "counter math at default shapes, PERF.md); "
                         "'threefry2x32' gives JAX's portable default streams")
+    p.add_argument("--gather_impl", type=str, default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="Pixel-aligned feature gather: Pallas one-hot MXU "
+                        "kernel (TPU) or XLA take_along_axis")
+    p.add_argument("--fused_mlp", type=str, default="auto",
+                   choices=["auto", "never", "always", "stash", "always_stash"],
+                   help="Fused Pallas decoder kernel. 'stash' additionally "
+                        "streams forward activations to HBM so the backward "
+                        "skips its recompute matmuls (PERF.md)")
+    p.add_argument("--fused_march", type=str, default="auto",
+                   choices=["auto", "never", "always"],
+                   help="Fully-fused Pallas LSTM ray-march kernel")
     return p
 
 
@@ -128,12 +140,15 @@ def main(argv=None):
     model_cfg = dataclasses.replace(
         model_cfg,
         encoder=dataclasses.replace(model_cfg.encoder, norm_type=opt.norm_type),
+        gather_impl=opt.gather_impl,
+        fused_mlp=opt.fused_mlp,
     )
     renderer_cfg = renderer_config_from_conf(conf, opt.renderer, opt.raymarch_steps)
     import jax.numpy as _jnp
 
     dtype = _jnp.bfloat16 if opt.dtype == "bf16" else _jnp.float32
-    model = RadFieldRenderer(model_cfg=model_cfg, renderer_cfg=renderer_cfg, dtype=dtype)
+    model = RadFieldRenderer(model_cfg=model_cfg, renderer_cfg=renderer_cfg,
+                             dtype=dtype, fused_march=opt.fused_march)
 
     mesh = None
     if opt.mesh:

@@ -112,10 +112,13 @@ class ResnetFC(nn.Module):
       combine_layer: block index at which the NS axis is pooled.
       combine_type: 'average' | 'max'.
       use_spade: scale-and-shift latent injection instead of additive.
-      fused: 'never' | 'auto' | 'always' — use the fused Pallas decoder
-        kernel (``avr_tpu.ops.pallas.resnetfc``) when the configuration
-        allows it ('auto' enables it on TPU backends only; 'always' also
-        runs it on CPU via interpret mode, for tests).
+      fused: 'never' | 'auto' | 'always' | 'stash' | 'always_stash' — use
+        the fused Pallas decoder kernel (``avr_tpu.ops.pallas.resnetfc``)
+        when the configuration allows it ('auto' enables it on TPU
+        backends only; 'always' also runs it on CPU via interpret mode,
+        for tests).  The '*stash' variants stream the forward activations
+        to HBM so the backward skips its recompute matmuls (more HBM, 2/3
+        the backward MXU work).
       code_spec: when set, inputs ``x`` are *raw* point features and the
         NeRF positional encoding (reference models.py:791-793) runs inside
         this module — in VMEM on the fused path, as the exact
@@ -177,7 +180,7 @@ class ResnetFC(nn.Module):
         import jax
 
         on_accel = jax.default_backend() not in ("cpu", "gpu")
-        return self.fused == "always" or on_accel
+        return self.fused in ("always", "always_stash") or on_accel
 
     @nn.compact
     def __call__(
@@ -206,6 +209,10 @@ class ResnetFC(nn.Module):
                 interpret=jax.default_backend() == "cpu",
                 code=self.code_spec,
                 activate_out=self.activate_out,
+                # 'auto': stash backward while it fits the HBM budget
+                # (forced on by '*stash', off by plain 'always'/'never')
+                stash=(True if self.fused in ("stash", "always_stash")
+                       else "auto" if self.fused == "auto" else False),
             )
             return out.reshape(SB, B, self.d_out)
 

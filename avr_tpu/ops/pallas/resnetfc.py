@@ -169,21 +169,36 @@ def _encode(p, code_refs, sin_lo, sin_hi):
 
 
 def _fwd_impl(x_ref, z_ref, code_refs, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
-              b0_ref, w1_ref, b1_ref, wo_ref, bo_ref, out_ref, *, n_blocks,
-              n_lin_z, ns, compute_dtype, sin_lo, sin_hi, epilogue):
+              b0_ref, w1_ref, b1_ref, wo_ref, bo_ref, out_ref, stash_refs,
+              *, n_blocks, n_lin_z, ns, compute_dtype, sin_lo, sin_hi,
+              epilogue):
+    """Forward kernel.  With ``stash_refs`` (stash mode) every post-ReLU
+    activation streams to HBM so the backward skips the recompute matmuls;
+    the DMA writes overlap the MXU chain in Mosaic's output pipeline."""
     cd = compute_dtype
+    stash_iter = iter(stash_refs) if stash_refs is not None else None
 
-    def run_block(h, k):
+    def run_block(h, k, view=None):
         a1 = jnp.maximum(h, 0.0).astype(cd)
         net = jnp.dot(a1, w0_ref[k], preferred_element_type=jnp.float32)
         net = net + b0_ref[k : k + 1, :].astype(jnp.float32)
         a2 = jnp.maximum(net, 0.0).astype(cd)
+        if stash_iter is not None:
+            r1, r2 = next(stash_iter), next(stash_iter)
+            if view is None:
+                r1[...], r2[...] = a1, a2
+            else:
+                r1[view], r2[view] = a1, a2
         dx = jnp.dot(a2, w1_ref[k], preferred_element_type=jnp.float32)
         return h + dx + b1_ref[k : k + 1, :].astype(jnp.float32)
 
     # per-view stream: lin_in + the injected pre-pool blocks
     h_sum = None
     for v in range(ns):
+        if stash_refs is not None:
+            # the pre-pool stash refs are shared across views; restart the
+            # iterator at the per-view group each pass
+            stash_iter = iter(stash_refs)
         p = x_ref[v][...].astype(jnp.float32)
         if code_refs is not None:
             p, _ = _encode(p, code_refs, sin_lo, sin_hi)
@@ -194,13 +209,18 @@ def _fwd_impl(x_ref, z_ref, code_refs, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
         for k in range(n_lin_z):
             inj = jnp.dot(z, wz_ref[k], preferred_element_type=jnp.float32)
             h = h + inj + bz_ref[k : k + 1, :].astype(jnp.float32)
-            h = run_block(h, k)
+            h = run_block(h, k, view=v)
         h_sum = h if h_sum is None else h_sum + h
     h = h_sum if ns == 1 else h_sum * (1.0 / ns)  # cross-view mean pool
 
+    if stash_refs is not None:
+        # skip the per-view group: 2 refs per pre-pool block
+        stash_iter = iter(stash_refs[2 * n_lin_z :])
     for k in range(n_lin_z, n_blocks):
         h = run_block(h, k)
     a = jnp.maximum(h, 0.0).astype(cd)
+    if stash_iter is not None:
+        next(stash_iter)[...] = a  # aout: epilogue + lin_out mask + dwo
     out = jnp.dot(a, wo_ref[...], preferred_element_type=jnp.float32)
     out = out + bo_ref[...].astype(jnp.float32)
     if epilogue:
@@ -210,12 +230,19 @@ def _fwd_impl(x_ref, z_ref, code_refs, wi_ref, bi_ref, wz_ref, bz_ref, w0_ref,
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _fwd_plain(x_ref, z_ref, *rest, **kw):
-    return _fwd_impl(x_ref, z_ref, None, *rest, **kw)
+def _fwd_plain(x_ref, z_ref, *rest, n_stash=0, **kw):
+    refs = list(rest)
+    out_and_stash = refs[10:]
+    return _fwd_impl(x_ref, z_ref, None, *refs[:10], out_and_stash[0],
+                     out_and_stash[1:] if n_stash else None, **kw)
 
 
-def _fwd_coded(x_ref, z_ref, s0_ref, f_ref, ph_ref, *rest, **kw):
-    return _fwd_impl(x_ref, z_ref, (s0_ref, f_ref, ph_ref), *rest, **kw)
+def _fwd_coded(x_ref, z_ref, s0_ref, f_ref, ph_ref, *rest, n_stash=0, **kw):
+    refs = list(rest)
+    out_and_stash = refs[10:]
+    return _fwd_impl(x_ref, z_ref, (s0_ref, f_ref, ph_ref), *refs[:10],
+                     out_and_stash[0],
+                     out_and_stash[1:] if n_stash else None, **kw)
 
 
 def _bwd_impl(x_ref, z_ref, code_refs, g_ref, wi_ref, bi_ref, wz_ref, bz_ref,
@@ -370,6 +397,127 @@ def _bwd_coded(x_ref, z_ref, s0_ref, f_ref, ph_ref, s0T_ref, *rest, **kw):
     return _bwd_impl(x_ref, z_ref, (s0_ref, f_ref, ph_ref, s0T_ref), *rest, **kw)
 
 
+def _bwd_stash_impl(x_ref, z_ref, code_refs, g_ref, stash_refs,
+                    wiT_ref, wzT_ref, w0T_ref, w1T_ref, woT_ref,
+                    wo_ref, bo_ref,
+                    dx_ref, dz_ref, dwi_ref, dbi_ref, dwz_ref, dbz_ref,
+                    dw0_ref, db0_ref, dw1_ref, db1_ref, dwo_ref, dbo_ref, *,
+                    n_blocks, n_lin_z, ns, compute_dtype, sin_lo, sin_hi,
+                    epilogue):
+    """Backward consuming the forward's activation stash: no recompute
+    matmuls — only the dgrad/wgrad chains (2/3 of the recompute
+    algorithm's MXU work).  Needs only the transposed weight copies (the
+    dgrad operands) plus wo/bo for the epilogue chain."""
+    cd = compute_dtype
+    i = pl.program_id(0)
+
+    pre = stash_refs[: 2 * n_lin_z]       # (ns, blk, d) per pre-pool block
+    post = stash_refs[2 * n_lin_z : -1]   # (blk, d) per post-pool block
+    aout = stash_refs[-1][...]            # (blk, d) relu(h_final)
+
+    @pl.when(i == 0)
+    def _init():
+        dwi_ref[...] = jnp.zeros_like(dwi_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+        dwz_ref[...] = jnp.zeros_like(dwz_ref)
+        dbz_ref[...] = jnp.zeros_like(dbz_ref)
+        dw0_ref[...] = jnp.zeros_like(dw0_ref)
+        db0_ref[...] = jnp.zeros_like(db0_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    def contract_t(a, b):
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bwd_block(gh, k, a1, a2):
+        ghc = gh.astype(cd)
+        dw1_ref[k] += contract_t(a2, gh)
+        db1_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
+        gnet = jnp.dot(ghc, w1T_ref[k], preferred_element_type=jnp.float32)
+        gnet = jnp.where(a2.astype(jnp.float32) > 0.0, gnet, 0.0)
+        dw0_ref[k] += contract_t(a1, gnet)
+        db0_ref[k : k + 1, :] += jnp.sum(gnet, axis=0, keepdims=True)
+        return gh + jnp.where(
+            a1.astype(jnp.float32) > 0.0,
+            jnp.dot(gnet.astype(cd), w0T_ref[k],
+                    preferred_element_type=jnp.float32),
+            0.0,
+        )
+
+    g = g_ref[...].astype(jnp.float32)
+    if epilogue:
+        out_pre = jnp.dot(aout, wo_ref[...], preferred_element_type=jnp.float32)
+        out_pre = out_pre + bo_ref[...].astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, out_pre.shape, 1)
+        s = jax.nn.sigmoid(out_pre)
+        g = jnp.where(
+            col < 3, g * s * (1.0 - s), jnp.where(out_pre > 0.0, g, 0.0)
+        )
+
+    dwo_ref[...] += contract_t(aout, g)
+    dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    gh = jnp.dot(g.astype(cd), woT_ref[...], preferred_element_type=jnp.float32)
+    # relu(h_final) mask recovered from the stashed activation
+    gh = jnp.where(aout.astype(jnp.float32) > 0.0, gh, 0.0)
+
+    for k in range(n_blocks - 1, n_lin_z - 1, -1):
+        j = 2 * (k - n_lin_z)
+        gh = bwd_block(gh, k, post[j][...], post[j + 1][...])
+
+    gh_pool = gh if ns == 1 else gh * (1.0 / ns)
+    for v in range(ns):
+        gh = gh_pool
+        z = z_ref[v].astype(cd)
+        dz = jnp.zeros(z.shape, jnp.float32)
+        for k in range(n_lin_z - 1, -1, -1):
+            gh = bwd_block(gh, k, pre[2 * k][v], pre[2 * k + 1][v])
+            dwz_ref[k] += contract_t(z, gh)
+            dbz_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
+            dz = dz + jnp.dot(gh.astype(cd), wzT_ref[k],
+                              preferred_element_type=jnp.float32)
+
+        # the encoded input is cheap to recompute (one tiny one-hot select)
+        p = x_ref[v][...].astype(jnp.float32)
+        if code_refs is not None:
+            enc, t = _encode(p, code_refs[:3], sin_lo, sin_hi)
+        else:
+            enc, t = p, None
+        dwi_ref[...] += contract_t(enc.astype(cd), gh)
+        dbi_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
+        genc = jnp.dot(gh.astype(cd), wiT_ref[...],
+                       preferred_element_type=jnp.float32)
+        if code_refs is not None:
+            _, _, _, s0T_ref = code_refs
+            col = jax.lax.broadcasted_iota(jnp.int32, genc.shape, 1)
+            f_row = code_refs[1][...]
+            dt = genc * jnp.where(
+                (col >= sin_lo) & (col < sin_hi), jnp.cos(t) * f_row, 1.0
+            )
+            genc = jnp.dot(dt, s0T_ref[...], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        dx_ref[v] = genc.astype(dx_ref.dtype)
+        dz_ref[v] = dz.astype(dz_ref.dtype)
+
+
+def _bwd_stash_plain(x_ref, z_ref, g_ref, *rest, n_stash=0, **kw):
+    refs = list(rest)
+    return _bwd_stash_impl(x_ref, z_ref, None, g_ref, refs[:n_stash],
+                           *refs[n_stash:], **kw)
+
+
+def _bwd_stash_coded(x_ref, z_ref, s0_ref, f_ref, ph_ref, s0T_ref, g_ref,
+                     *rest, n_stash=0, **kw):
+    refs = list(rest)
+    return _bwd_stash_impl(x_ref, z_ref, (s0_ref, f_ref, ph_ref, s0T_ref),
+                           g_ref, refs[:n_stash], *refs[n_stash:], **kw)
+
+
 def _pad_rows(a, n_pad):
     n = a.shape[1]
     return a if n == n_pad else jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -383,12 +531,18 @@ _blocked = lambda i: (0, i, 0)
 @functools.lru_cache(maxsize=None)
 def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
                 d_latent: int, d_hidden: int, d_out: int, compute_dtype,
-                interpret: bool, code=None, epilogue: bool = False):
+                interpret: bool, code=None, epilogue: bool = False,
+                stash: bool = False):
     """Build (and cache) the custom-VJP fused decoder for one static config.
 
     ``d_in`` is the width of the ``x`` operand as passed by the caller: the
     already-encoded width when ``code is None``, else the *raw* width (the
     kernel encodes in VMEM and ``lin_in`` consumes ``code.d_enc`` lanes).
+
+    ``stash``: the forward-under-grad streams every post-ReLU activation
+    to HBM and the backward consumes it instead of recomputing the forward
+    — 2/3 of the recompute algorithm's MXU work, bought with ~11 KB/point
+    of HBM traffic that pipelines against the matmul chain.
     """
     cd = compute_dtype
     blk_fwd = max(_BLK_FWD // ns, 512)
@@ -400,7 +554,31 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
         # measured 104.28M against the 100M scoped-vmem limit on v5e
         blk_bwd = 1536
     blk_bwd = max(blk_bwd // ns, 512)
+    if stash:
+        # one shared block size: the stash arrays are laid out at the
+        # forward's padding, and the double-buffered stash blocks dominate
+        # VMEM on both sides
+        blk_fwd = blk_bwd = max((2048 if n_lin_z < 4 else 1024) // ns, 512)
     d_enc = code.d_enc if code is not None else d_in
+    n_stash = 2 * n_blocks + 1
+
+    def stash_shapes(n_pad):
+        shapes, specs = [], []
+        for k in range(n_lin_z):  # per-view pre-pool activations
+            for _ in range(2):
+                shapes.append(jax.ShapeDtypeStruct((ns, n_pad, d_hidden), cd))
+                specs.append(pl.BlockSpec((ns, blk_fwd, d_hidden), _blocked,
+                                          memory_space=pltpu.VMEM))
+        for k in range(n_lin_z, n_blocks):  # pooled-trunk activations
+            for _ in range(2):
+                shapes.append(jax.ShapeDtypeStruct((n_pad, d_hidden), cd))
+                specs.append(pl.BlockSpec((blk_fwd, d_hidden),
+                                          lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+        shapes.append(jax.ShapeDtypeStruct((n_pad, d_hidden), cd))  # aout
+        specs.append(pl.BlockSpec((blk_fwd, d_hidden), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+        return shapes, specs
     sin_lo = code.sin_lo if code is not None else 0
     sin_hi = code.sin_hi if code is not None else 0
     if code is not None:
@@ -460,15 +638,22 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
         ns * (2 * n_lin_z + n_lin_z) + 2 * (n_blocks - n_lin_z)
     ) + 2 * ns * d_enc * d_hidden
 
-    def _forward(x, z, *params):
+    def _forward(x, z, *params, with_stash=False):
         # x, z: (NS, N, d)
         n = x.shape[1]
         n_pad = max(pl.cdiv(n, blk_fwd), 1) * blk_fwd
         xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
         cparams = [p.astype(cd) for p in params]
-        out = pl.pallas_call(
+        out_shape = jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32)
+        out_spec = pl.BlockSpec((blk_fwd, d_out), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        if with_stash:
+            st_shapes, st_specs = stash_shapes(n_pad)
+            out_shape = [out_shape, *st_shapes]
+            out_spec = [out_spec, *st_specs]
+        outs = pl.pallas_call(
             functools.partial(_fwd_coded if code is not None else _fwd_plain,
-                              **kw),
+                              n_stash=n_stash if with_stash else 0, **kw),
             grid=(n_pad // blk_fwd,),
             in_specs=[
                 pl.BlockSpec((ns, blk_fwd, d_in), _blocked,
@@ -478,9 +663,8 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
                 *code_specs,
                 *weight_specs(),
             ],
-            out_specs=pl.BlockSpec((blk_fwd, d_out), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32),
+            out_specs=out_spec,
+            out_shape=out_shape,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -489,17 +673,22 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
                 flops=n_pad * mm, bytes_accessed=0, transcendentals=0,
             ),
         )(xp, zp, *code_arrays, *cparams)
-        return out[:n]
+        if with_stash:
+            return outs[0][:n], tuple(outs[1:])
+        return outs[:n]
 
     @jax.custom_vjp
     def fused(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo):
         return _forward(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)
 
     def fwd(x, z, *params):
-        return _forward(x, z, *params), (x, z, params)
+        if stash:
+            out, st = _forward(x, z, *params, with_stash=True)
+            return out, (x, z, params, st)
+        return _forward(x, z, *params), (x, z, params, None)
 
     def bwd(res, g):
-        x, z, params = res
+        x, z, params, st = res
         n = x.shape[1]
         n_pad = max(pl.cdiv(n, blk_bwd), 1) * blk_bwd
         xp, zp = _pad_rows(x, n_pad), _pad_rows(z, n_pad)
@@ -519,62 +708,100 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
         ]
 
         f32 = jnp.float32
-        outs = pl.pallas_call(
-            functools.partial(_bwd_coded if code is not None else _bwd_plain,
-                              **kw),
-            grid=(n_pad // blk_bwd,),
-            in_specs=[
-                pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
-                             memory_space=pltpu.VMEM),
-                *code_specs_bwd,
-                pl.BlockSpec((blk_bwd, d_out), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                *weight_specs(),
-                *weight_t_specs(),
-            ],
-            out_specs=[
-                pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_enc, d_hidden), _full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_lin_z, d_latent, d_hidden), _full3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_lin_z, d_hidden), _full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_hidden, d_out), _full, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((ns, n_pad, d_in), f32),
-                jax.ShapeDtypeStruct((ns, n_pad, d_latent), f32),
-                jax.ShapeDtypeStruct((d_enc, d_hidden), f32),
-                jax.ShapeDtypeStruct((1, d_hidden), f32),
-                jax.ShapeDtypeStruct((n_lin_z, d_latent, d_hidden), f32),
-                jax.ShapeDtypeStruct((n_lin_z, d_hidden), f32),
-                jax.ShapeDtypeStruct((n_blocks, d_hidden, d_hidden), f32),
-                jax.ShapeDtypeStruct((n_blocks, d_hidden), f32),
-                jax.ShapeDtypeStruct((n_blocks, d_hidden, d_hidden), f32),
-                jax.ShapeDtypeStruct((n_blocks, d_hidden), f32),
-                jax.ShapeDtypeStruct((d_hidden, d_out), f32),
-                jax.ShapeDtypeStruct((1, d_out), f32),
-            ],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=3 * n_pad * mm, bytes_accessed=0, transcendentals=0,
-            ),
-        )(xp, zp, *code_arrays_bwd, gp, *cparams, *tparams)
+        grad_specs = [
+            pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_enc, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lin_z, d_latent, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lin_z, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden, d_hidden), _full3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_hidden), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_hidden, d_out), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
+        ]
+        grad_shapes = [
+            # point cotangents stream out in the primal dtypes: a f32
+            # dz at N=328k costs a 672 MB HBM round trip plus a convert
+            # back to the (bf16) latent dtype
+            jax.ShapeDtypeStruct((ns, n_pad, d_in), x.dtype),
+            jax.ShapeDtypeStruct((ns, n_pad, d_latent), z.dtype),
+            jax.ShapeDtypeStruct((d_enc, d_hidden), f32),
+            jax.ShapeDtypeStruct((1, d_hidden), f32),
+            jax.ShapeDtypeStruct((n_lin_z, d_latent, d_hidden), f32),
+            jax.ShapeDtypeStruct((n_lin_z, d_hidden), f32),
+            jax.ShapeDtypeStruct((n_blocks, d_hidden, d_hidden), f32),
+            jax.ShapeDtypeStruct((n_blocks, d_hidden), f32),
+            jax.ShapeDtypeStruct((n_blocks, d_hidden, d_hidden), f32),
+            jax.ShapeDtypeStruct((n_blocks, d_hidden), f32),
+            jax.ShapeDtypeStruct((d_hidden, d_out), f32),
+            jax.ShapeDtypeStruct((1, d_out), f32),
+        ]
+        g_spec = pl.BlockSpec((blk_bwd, d_out), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        if stash:
+            _, st_specs = stash_shapes(n_pad)
+            outs = pl.pallas_call(
+                functools.partial(
+                    _bwd_stash_coded if code is not None else _bwd_stash_plain,
+                    n_stash=n_stash, **kw),
+                grid=(n_pad // blk_bwd,),
+                in_specs=[
+                    pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
+                                 memory_space=pltpu.VMEM),
+                    *code_specs_bwd,
+                    g_spec,
+                    *st_specs,
+                    *weight_t_specs(),
+                    pl.BlockSpec((d_hidden, d_out), _full,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
+                ],
+                out_specs=grad_specs,
+                out_shape=grad_shapes,
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * n_pad * mm, bytes_accessed=0, transcendentals=0,
+                ),
+            )(xp, zp, *code_arrays_bwd, gp, *st, *tparams,
+              cparams[8], cparams[9])
+        else:
+            outs = pl.pallas_call(
+                functools.partial(
+                    _bwd_coded if code is not None else _bwd_plain, **kw),
+                grid=(n_pad // blk_bwd,),
+                in_specs=[
+                    pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ns, blk_bwd, d_latent), _blocked,
+                                 memory_space=pltpu.VMEM),
+                    *code_specs_bwd,
+                    g_spec,
+                    *weight_specs(),
+                    *weight_t_specs(),
+                ],
+                out_specs=grad_specs,
+                out_shape=grad_shapes,
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+                cost_estimate=pl.CostEstimate(
+                    flops=3 * n_pad * mm, bytes_accessed=0, transcendentals=0,
+                ),
+            )(xp, zp, *code_arrays_bwd, gp, *cparams, *tparams)
 
         dx, dz, dwi, dbi, dwz, dbz, dw0, db0, dw1, db1, dwo, dbo = outs
         cast = lambda grad, p: grad.astype(p.dtype)
@@ -591,9 +818,13 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
     return fused
 
 
+_STASH_BUDGET_BYTES = 6 * 1024**3  # HBM the auto mode may spend on the stash
+
+
 def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
                    compute_dtype=jnp.bfloat16, interpret: bool = False,
-                   code: CodeSpec | None = None, activate_out: bool = False):
+                   code: CodeSpec | None = None, activate_out: bool = False,
+                   stash="auto"):
     """Apply the fused decoder.
 
     Args:
@@ -634,9 +865,18 @@ def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
 
     if activate_out and wo.shape[-1] != 4:
         raise ValueError("activate_out requires d_out == 4 (rgb + sigma)")
+    if stash == "auto":
+        # stash backward measured 53.6 -> 42.9 ms/step at benchmark shapes
+        # (the DMA pipelines against the matmul chain, PERF.md) — on by
+        # default while the stash fits the budget; huge point counts
+        # (e.g. giant ray batches) fall back to the recompute backward
+        per_point = wi.shape[-1] * jnp.dtype(compute_dtype).itemsize * (
+            2 * n_lin_z * ns + 2 * (n_blocks - n_lin_z) + 1
+        )
+        stash = x.shape[1] * per_point <= _STASH_BUDGET_BYTES
     fn = _make_fused(
         n_blocks, n_lin_z, ns, x.shape[-1], z.shape[-1], wi.shape[-1],
         wo.shape[-1], jnp.dtype(compute_dtype).type, interpret,
-        code, activate_out,
+        code, activate_out, stash,
     )
     return fn(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)

@@ -229,7 +229,14 @@ def main(argv=None):
                 model, state, encode_fn, render_fn, val_batch, loss_params,
                 chunk=4096,
             )
-            rec.update(psnr=float(psnr_v), ssim=float(ssim_v))
+            # param_l2 distinguishes "render frozen" from "params frozen"
+            # when the PSNR curve flatlines
+            pl2 = float(
+                sum(float(jnp.sum(jnp.square(l)))
+                    for l in jax.tree.leaves(state.params))
+            )
+            rec.update(psnr=float(psnr_v), ssim=float(ssim_v),
+                       val_loss=float(vloss), param_l2=round(pl2, 6))
             print(json.dumps(rec), flush=True)
         records.append(rec)
         i += 1

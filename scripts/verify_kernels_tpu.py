@@ -146,6 +146,43 @@ def main():
     else:
         print(f"PASS  coded decoder d-input (cosine {cos:.4f} vs Flax bf16)")
 
+    # ---- stash-mode backward (activations stashed to HBM, no recompute):
+    # must match the recompute kernel bitwise-ish — SAME bf16 operands on
+    # both sides, so tight tolerances apply (not Flax-vs-kernel slop)
+    def _mk_coded(fused):
+        return ResnetFC(d_in=spec.d_enc, d_out=4, n_blocks=5, d_latent=D_L,
+                        d_hidden=D_H, combine_layer=3, fused=fused,
+                        code_spec=spec, activate_out=True, dtype=jnp.bfloat16)
+
+    mod_r, mod_s = _mk_coded("always"), _mk_coded("always_stash")
+    params_c = mod_r.init(jax.random.PRNGKey(0), pc, zc)
+
+    def loss_r(params_):
+        return jnp.sum(mod_r.apply(params_, pc, zc) ** 2)
+
+    def loss_s(params_):
+        return jnp.sum(mod_s.apply(params_, pc, zc) ** 2)
+
+    ok &= _check("stash decoder fwd (vs recompute kernel)",
+                 jax.jit(mod_s.apply)(params_c, pc, zc),
+                 jax.jit(mod_r.apply)(params_c, pc, zc), 1e-6, 1e-6)
+    gr = jax.jit(jax.grad(loss_r))(params_c)
+    gs = jax.jit(jax.grad(loss_s))(params_c)
+    stash_ok = True
+    for (path, a_), b_ in zip(
+        jax.tree_util.tree_leaves_with_path(gs), jax.tree.leaves(gr)
+    ):
+        a_ = np.asarray(a_, np.float64)
+        b_ = np.asarray(b_, np.float64)
+        denom = np.abs(b_).max() + 1e-12
+        rel = np.abs(a_ - b_).max() / denom
+        if rel > 2e-2:
+            print(f"FAIL  stash grad rel={rel:.2e} {jax.tree_util.keystr(path)}")
+            stash_ok = False
+    ok &= stash_ok
+    if stash_ok:
+        print("PASS  stash decoder grads (vs recompute kernel)")
+
     # ---- fused march (f32 compute so the jnp reference is exact-ish).
     # Checked at 2 steps: the march is a chaotic recurrence (LSTM + discrete
     # bilinear tap boundaries), so ~1e-7 per-step differences between the

@@ -258,3 +258,44 @@ def test_coded_kernel_reuse_across_jits(setup_coded):
     g = jax.jit(jax.grad(lambda v: jnp.sum(mod.apply(v, p, z) ** 2)))(variables)
     assert jnp.all(jnp.isfinite(out1))
     assert all(jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(g))
+
+
+# ---------------------------------------------------------------------------
+# Stash mode: the forward-under-grad streams activations to HBM and the
+# backward consumes them instead of recomputing (fused='stash'/'always_stash').
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("NS,coded", [(1, False), (2, False), (1, True), (2, True)])
+def test_stash_matches_recompute(NS, coded):
+    rng = np.random.default_rng(41 + NS + 2 * coded)
+    cs = _SPEC if coded else None
+    d_raw = _SPEC.d_raw if coded else D_IN
+    d_in = _SPEC.d_enc if coded else D_IN
+    p = jnp.asarray(rng.normal(size=(2, NS, 37, d_raw)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(2, NS, 37, D_LATENT)).astype(np.float32))
+
+    def mk(fused):
+        return ResnetFC(d_in=d_in, d_out=4, n_blocks=N_BLOCKS,
+                        d_latent=D_LATENT, d_hidden=D_HIDDEN,
+                        combine_layer=COMBINE, fused=fused, code_spec=cs,
+                        activate_out=coded)
+
+    v = mk("never").init(jax.random.PRNGKey(0), p, z)
+    v = jax.tree.map(
+        lambda a: a + 0.01 * jnp.asarray(rng.normal(size=a.shape), a.dtype), v
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(mk("always_stash").apply(v, p, z)),
+        np.asarray(mk("never").apply(v, p, z)), atol=2e-5, rtol=2e-5,
+    )
+
+    def loss(fused, v_, p_, z_):
+        return jnp.sum(jnp.sin(3.0 * mk(fused).apply(v_, p_, z_)))
+
+    g_ref = jax.grad(lambda *a: loss("never", *a), argnums=(0, 1, 2))(v, p, z)
+    g_st = jax.grad(lambda *a: loss("always_stash", *a), argnums=(0, 1, 2))(v, p, z)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_st)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-3, rtol=2e-3)
