@@ -37,11 +37,20 @@ def _uniform_2d(key, shape, dtype=jnp.float32):
 
     The samplers want ``(SB, R, n)`` with n ~ 20-32: the VPU processes the
     RNG's bits->float chain slowly in trailing-n / flattened-1D layouts
-    (~2 ms/step at benchmark shapes, PERF.md lever 5).  Drawing
-    ``(SB, R*n)`` and reshaping keeps the chain on (8, 128)-tiled vregs;
-    the reshape itself is free (same linear order).
+    (~2 ms/step at benchmark shapes, PERF.md lever 5).  On TPU backends the
+    bits come from the core PRNG via a Pallas kernel in a tiled 2D layout
+    (XLA flattens the rbg chain to 1D regardless of the requested shape);
+    elsewhere, a flat-2D ``jax.random`` draw.
     """
     flat = (shape[0], int(np.prod(shape[1:]))) if len(shape) > 2 else shape
+    if (
+        dtype == jnp.float32
+        and len(flat) == 2
+        and jax.default_backend() not in ("cpu", "gpu")
+    ):
+        from avr_tpu.ops.pallas.rng import pallas_uniform_2d
+
+        return pallas_uniform_2d(key, flat).reshape(shape)
     return jax.random.uniform(key, flat, dtype=dtype).reshape(shape)
 
 

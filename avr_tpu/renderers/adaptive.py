@@ -70,12 +70,16 @@ def render_adaptive(
     # projection <coords - ro, rd> is the same d, robust for every ray.
     final_distance = jnp.sum((coords - ros) * rds, axis=-1)  # (SB, R)
 
-    # Epsilon-band stratified sampling around the surface.
-    z_vals = sample_coarse(
+    # Epsilon-band stratified sampling around the surface.  The reference
+    # sorts here (renderers.py:494), but sample_coarse's stratified output
+    # is monotone by construction (sample k jitters uniformly inside bin k,
+    # u in [0, 1)), so the sort is an exact no-op — and it cost a real
+    # 2.2 ms/step on TPU (XLA radix-sorts f32 via a 1-D u32 bitcast chain;
+    # pinned by test_band_samples_monotone).
+    z_sorted = sample_coarse(
         k_band, final_distance - cfg.epsilon, final_distance + cfg.epsilon,
         cfg.n_coarse,
     )
-    z_sorted = jnp.sort(z_vals, axis=-1)
 
     # Optional locality sort: render the band in ray order sorted by the
     # marched point's source-view row, so the Pallas windowed gather sees

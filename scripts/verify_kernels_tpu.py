@@ -183,6 +183,27 @@ def main():
     if stash_ok:
         print("PASS  stash decoder grads (vs recompute kernel)")
 
+    # ---- Pallas uniform RNG (no CPU lowering — only verifiable here)
+    from avr_tpu.ops.pallas.rng import pallas_uniform_2d
+
+    u = np.asarray(pallas_uniform_2d(jax.random.PRNGKey(0), (4, 81920)))
+    u2 = np.asarray(pallas_uniform_2d(jax.random.PRNGKey(0), (4, 81920)))
+    u3 = np.asarray(pallas_uniform_2d(jax.random.PRNGKey(1), (4, 81920)))
+    blocks = u.reshape(4, -1, 8192)
+    corr = abs(float(np.corrcoef(blocks[:, 0].ravel(), blocks[:, 1].ravel())[0, 1]))
+    rng_ok = (
+        u.min() >= 0.0 and u.max() < 1.0
+        and abs(u.mean() - 0.5) < 5e-3
+        and abs(u.var() - 1.0 / 12.0) < 5e-3
+        and np.array_equal(u, u2)
+        and np.abs(u - u3).max() > 0.1
+        and corr < 0.02
+    )
+    ok &= rng_ok
+    print(("PASS" if rng_ok else "FAIL") +
+          f"  pallas uniform RNG (mean={u.mean():.4f} var={u.var():.4f} "
+          f"deterministic={np.array_equal(u, u2)} blockcorr={corr:.4f})")
+
     # ---- fused march (f32 compute so the jnp reference is exact-ish).
     # Checked at 2 steps: the march is a chaotic recurrence (LSTM + discrete
     # bilinear tap boundaries), so ~1e-7 per-step differences between the

@@ -105,3 +105,16 @@ def test_samplers_jit_and_grad_safe():
 
     g = jax.grad(f)(jnp.ones((1, 2, 8)))
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_band_samples_monotone():
+    """sample_coarse output is sorted by construction (sample k jitters
+    inside bin k): the adaptive renderer relies on this to skip the
+    reference's explicit sort of the band z-values (renderers.py:494),
+    which is an exact no-op but cost 2.2 ms/step on TPU."""
+    key = jax.random.PRNGKey(123)
+    near = jnp.asarray(np.random.default_rng(3).uniform(0.5, 1.2, (4, 257)))
+    far = near + 0.3
+    z = sample_coarse(key, near.astype(jnp.float32), far.astype(jnp.float32), 20)
+    diffs = np.diff(np.asarray(z), axis=-1)
+    assert (diffs > 0).all()
