@@ -86,9 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "counter math at default shapes, PERF.md); "
                         "'threefry2x32' gives JAX's portable default streams")
     p.add_argument("--gather_impl", type=str, default="auto",
-                   choices=["auto", "pallas", "xla"],
+                   choices=["auto", "pallas", "pallas_proj", "xla"],
                    help="Pixel-aligned feature gather: Pallas one-hot MXU "
-                        "kernel (TPU) or XLA take_along_axis")
+                        "kernel (TPU), the projected variant (projection "
+                        "in-kernel; measured slower, PERF.md), or XLA "
+                        "take_along_axis")
     p.add_argument("--fused_mlp", type=str, default="auto",
                    choices=["auto", "never", "always", "stash", "always_stash"],
                    help="Fused Pallas decoder kernel. 'stash' additionally "

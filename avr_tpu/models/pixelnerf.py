@@ -458,39 +458,70 @@ class PixelNeRFNet(nn.Module):
 
         latent = None
         if cfg.use_encoder:
-            # Perspective projection into each source view (pixel units).
-            uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]  # (SB, NS, B, 2)
-            focal = cond.focal.reshape(-1, 2)
-            cc = cond.c.reshape(-1, 2)
-            if focal.shape[0] > 1:
-                focal = focal.reshape(SB, NS, 1, 2)
-            if cc.shape[0] > 1:
-                cc = cc.reshape(SB, NS, 1, 2)
-            uv = uv * focal + cc
-
-            # Pixel -> align-corners grid coords, then the bilinear gather.
+            impl = cfg.gather_impl
+            if impl == "auto":
+                impl = (
+                    "pallas"
+                    if jax.default_backend() not in ("cpu", "gpu")
+                    else "xla"
+                )
             with jax.named_scope("encoder_index"):
-                scale = cond.latent_scaling / cond.image_shape
-                grid = uv * scale - 1.0
-                impl = cfg.gather_impl
-                if impl == "auto":
-                    impl = (
-                        "pallas"
-                        if jax.default_backend() not in ("cpu", "gpu")
-                        else "xla"
+                if impl == "pallas_proj":
+                    # projected windowed kernel: the whole world->cam ->
+                    # perspective -> grid chain runs in VMEM.  Measured
+                    # net-SLOWER than 'pallas' at benchmark shapes (+1.8
+                    # ms/step: the projection's VPU divides serialize with
+                    # the one-hot contraction, while the XLA uv fusions
+                    # overlap) — kept selectable, not the default (PERF.md).
+                    from avr_tpu.ops.pallas.gather import (
+                        gather_bilinear_projected,
                     )
-                if impl == "pallas":
-                    # windowed kernel: identical semantics, and block-row
-                    # coherence (ray-sorted band queries) cuts the one-hot
+                    from avr_tpu.ops.pallas.march import pack_projection
+
+                    proj = pack_projection(
+                        cond.poses, cond.focal, cond.c,
+                        cond.latent_scaling, cond.image_shape,
+                    )  # (SB * NS, 16)
+                    pts = jnp.broadcast_to(
+                        xyz[:, None], (SB, NS, B, 3)
+                    ).reshape(SB * NS, B, 3)
+                    latent = gather_bilinear_projected(
+                        cond.latent, pts, proj
+                    ).reshape(SB, NS, B, -1)
+                elif impl == "pallas":
+                    # windowed kernel over the XLA-computed grid: identical
+                    # semantics to grid_sample_2d; block-row coherence
+                    # (ray-sorted band queries) cuts the one-hot
                     # contraction up to 4x (see gather.py)
                     from avr_tpu.ops.pallas.gather import (
                         gather_bilinear_windowed,
                     )
 
+                    uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]
+                    focal = cond.focal.reshape(-1, 2)
+                    cc = cond.c.reshape(-1, 2)
+                    if focal.shape[0] > 1:
+                        focal = focal.reshape(SB, NS, 1, 2)
+                    if cc.shape[0] > 1:
+                        cc = cc.reshape(SB, NS, 1, 2)
+                    uv = uv * focal + cc
+                    scale = cond.latent_scaling / cond.image_shape
+                    grid = uv * scale - 1.0
                     latent = gather_bilinear_windowed(
                         cond.latent, grid.reshape(SB * NS, B, 2)
                     ).reshape(SB, NS, B, -1)
                 else:
+                    # Perspective projection into each source view (pixels).
+                    uv = -xyz_cam[..., :2] / xyz_cam[..., 2:3]  # (SB,NS,B,2)
+                    focal = cond.focal.reshape(-1, 2)
+                    cc = cond.c.reshape(-1, 2)
+                    if focal.shape[0] > 1:
+                        focal = focal.reshape(SB, NS, 1, 2)
+                    if cc.shape[0] > 1:
+                        cc = cc.reshape(SB, NS, 1, 2)
+                    uv = uv * focal + cc
+                    scale = cond.latent_scaling / cond.image_shape
+                    grid = uv * scale - 1.0
                     latent = grid_sample_2d(
                         cond.latent, grid.reshape(SB * NS, B, 2)
                     ).reshape(SB, NS, B, -1)

@@ -499,3 +499,250 @@ def _wbwd(interpret, res, g):
 
 
 gather_bilinear_windowed.defvjp(_wfwd, _wbwd)
+
+
+# ---------------------------------------------------------------------------
+# Projected windowed gather: world points in, conditioning features out.
+#
+# The XLA glue between the renderers and the gather — world->cam rotation,
+# perspective projection, align-corners grid normalization — costs a
+# handful of (B, N, 2..3) fusions plus layout copies per step, and their
+# backward again (PERF.md "band/uv build").  This variant moves the whole
+# chain into the kernel: inputs are world points + the per-view packed
+# projection scalars (march.pack_projection), the tap rows/windows are
+# computed in-kernel (no host-side _block_windows pass), and the backward
+# chains d_grid -> d_cam -> d_world in VMEM.
+#
+# Scope: the projection scalars are treated as conditioning constants
+# (zero cotangent) — cameras are inputs, not parameters, here and in the
+# reference.  Callers that need d/d-camera must use the grid-input path.
+# ---------------------------------------------------------------------------
+
+
+def _proj_grid(proj_ref, b, pts):
+    """World points (blk, 3) -> align-corners grid via packed scalars.
+
+    All math on 1-D ``(blk,)`` vectors, matching the march kernel's
+    device-proven projection idiom (march.py ``_project``); verified
+    against float64 to ~1e-6 on v5e.
+    """
+    p = lambda k: proj_ref[b, k]
+    cx, cy, cz = pts[:, 0], pts[:, 1], pts[:, 2]
+    camx = p(0) * cx + p(1) * cy + p(2) * cz + p(9)
+    camy = p(3) * cx + p(4) * cy + p(5) * cz + p(10)
+    camz = p(6) * cx + p(7) * cy + p(8) * cz + p(11)
+    gx = -(camx / camz) * p(12) + p(14)
+    gy = -(camy / camz) * p(13) + p(15)
+    return gx, gy, camx, camy, camz
+
+
+def _inkernel_window(gy, H, wr):
+    """Per-block (start, n_win) from the block's own tap rows."""
+    y = jnp.clip((gy + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    y0 = jnp.floor(y)
+    lo = jnp.min(y0).astype(jnp.int32)
+    hi = jnp.max(jnp.minimum(y0 + 1.0, H - 1)).astype(jnp.int32)
+    n_win = (hi - lo) // wr + 1
+    start = jnp.maximum(jnp.minimum(lo, H - n_win * wr), 0)
+    return start, n_win
+
+
+def _pfwd_kernel(proj_ref, pts_ref, feat_ref, out_ref, *, H, W, wr):
+    b = pl.program_id(0)
+    blk = pts_ref.shape[0]
+    C = feat_ref.shape[1]
+    WIN = wr * W
+    gx, gy, _, _, _ = _proj_grid(proj_ref, b, pts_ref[...].astype(jnp.float32))
+    xy = jnp.concatenate([gx[:, None], gy[:, None]], axis=1)
+    start, n_win = _inkernel_window(gy, H, wr)
+
+    def body(wi, acc):
+        rs_cover = start + wi * wr
+        rs = jnp.minimum(rs_cover, H - wr)
+        sel, _, _, _, _ = _win_selector(xy, rs, rs_cover, H, W, blk, wr)
+        f = feat_ref[pl.ds(rs * W, WIN), :]
+        return acc + jnp.dot(
+            sel.astype(f.dtype), f, preferred_element_type=jnp.float32,
+            precision=_mxu_precision(f.dtype),
+        )
+
+    acc = jax.lax.fori_loop(0, n_win, body, jnp.zeros((blk, C), jnp.float32))
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def _pbwd_kernel(proj_ref, pts_ref, feat_ref, g_ref, dfeat_ref, dpts_ref,
+                 *, H, W, wr):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    blk = pts_ref.shape[0]
+    WIN = wr * W
+    pts = pts_ref[...].astype(jnp.float32)
+    gx, gy, camx, camy, camz = _proj_grid(proj_ref, b, pts)
+    xy = jnp.concatenate([gx[:, None], gy[:, None]], axis=1)
+    start, n_win = _inkernel_window(gy, H, wr)
+    g = g_ref[...].astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    _, w, wx, wy = _taps(xy, H, W)
+
+    def body(wi, gf):
+        rs_cover = start + wi * wr
+        rs = jnp.minimum(rs_cover, H - wr)
+        sel, m, _, _, _ = _win_selector(xy, rs, rs_cover, H, W, blk, wr)
+        f = feat_ref[pl.ds(rs * W, WIN), :]
+        dfeat_ref[pl.ds(rs * W, WIN), :] += jax.lax.dot_general(
+            sel.astype(f.dtype), g.astype(f.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(f.dtype),
+        )
+        P = jax.lax.dot_general(
+            g.astype(f.dtype), f,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(f.dtype),
+        )  # (blk, WIN)
+        return tuple(
+            gf_t + jnp.sum(jnp.where(mm, P, 0.0), axis=1, keepdims=True)
+            for gf_t, mm in zip(gf, m)
+        )
+
+    zero = jnp.zeros((blk, 1), jnp.float32)
+    gf = jax.lax.fori_loop(0, n_win, body, (zero, zero, zero, zero))
+
+    # d-grid (identical to the grid-input kernel)
+    d_wx = (gf[1] - gf[0]) * (1.0 - wy) + (gf[3] - gf[2]) * wy
+    d_wy = (gf[2] - gf[0]) * (1.0 - wx) + (gf[3] - gf[1]) * wx
+    x_un = (xy[:, 0:1] + 1.0) * 0.5 * (W - 1)
+    y_un = (xy[:, 1:2] + 1.0) * 0.5 * (H - 1)
+    live_x = ((x_un > 0) & (x_un < W - 1)).astype(jnp.float32)
+    live_y = ((y_un > 0) & (y_un < H - 1)).astype(jnp.float32)
+    # to 1-D for the projection chain (see _proj_grid)
+    d_gx = (d_wx * live_x * (0.5 * (W - 1)))[:, 0]
+    d_gy = (d_wy * live_y * (0.5 * (H - 1)))[:, 0]
+
+    # chain through the projection: gx = -(camx/camz)*fx + cx
+    p = lambda k: proj_ref[b, k]
+    d_camx = -d_gx * p(12) / camz
+    d_camy = -d_gy * p(13) / camz
+    d_camz = (d_gx * p(12) * camx + d_gy * p(13) * camy) / (camz * camz)
+    # d_world = R^T d_cam (cam = R p + t)
+    d_px = p(0) * d_camx + p(3) * d_camy + p(6) * d_camz
+    d_py = p(1) * d_camx + p(4) * d_camy + p(7) * d_camz
+    d_pz = p(2) * d_camx + p(5) * d_camy + p(8) * d_camz
+    dpts_ref[...] = jnp.concatenate(
+        [d_px[:, None], d_py[:, None], d_pz[:, None]], axis=1
+    ).astype(dpts_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_bilinear_projected(
+    features: jnp.ndarray, points: jnp.ndarray, proj: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed bilinear gather at the projection of world points.
+
+    Args:
+      features: ``(B, H, W, C)`` per-view feature maps.
+      points: ``(B, N, 3)`` world-space query points.
+      proj: ``(B, 16)`` packed projection scalars
+        (``avr_tpu.ops.pallas.march.pack_projection``).
+
+    Equivalent to projecting outside (world->cam, ``-xy/z*f + c``,
+    align-corners normalize) and calling :func:`gather_bilinear_windowed`,
+    with the whole chain fused in VMEM.  ``proj`` receives a zero
+    cotangent (cameras are conditioning constants).
+    """
+    B, H, W, C = features.shape
+    N = points.shape[1]
+    Np = _pad_to(max(N, 8), _BLK)
+    pts_p = _pad_pts(points, Np)
+    wr = min(_WIN_ROWS, H)
+
+    def kernel(proj_ref, pts_ref, feat_ref, out_ref):
+        _pfwd_kernel(proj_ref, pts_ref.at[0], feat_ref.at[0], out_ref.at[0],
+                     H=H, W=W, wr=wr)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Np // _BLK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _BLK, 3), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * W, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLK, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), features.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=B * Np * wr * W * C, bytes_accessed=0, transcendentals=0,
+        ),
+    )(proj.astype(jnp.float32), pts_p, features.reshape(B, H * W, C))
+    return out[:, :N]
+
+
+def _pfwd(features, points, proj, interpret):
+    return gather_bilinear_projected(features, points, proj, interpret), (
+        features, points, proj,
+    )
+
+
+def _pbwd(interpret, res, g):
+    features, points, proj = res
+    B, H, W, C = features.shape
+    N = points.shape[1]
+    Np = _pad_to(max(N, 8), _BLK)
+    pts_p = _pad_pts(points, Np)
+    g_p = _pad_pts(g, Np)
+    wr = min(_WIN_ROWS, H)
+
+    def kernel(proj_ref, pts_ref, feat_ref, g_ref, dfeat_ref, dpts_ref):
+        _pbwd_kernel(proj_ref, pts_ref.at[0], feat_ref.at[0], g_ref.at[0],
+                     dfeat_ref.at[0], dpts_ref.at[0], H=H, W=W, wr=wr)
+
+    dfeat, dpts = pl.pallas_call(
+        kernel,
+        grid=(B, Np // _BLK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _BLK, 3), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * W, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H * W, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK, 3), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H * W, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, 3), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * wr * W * C, bytes_accessed=0, transcendentals=0,
+        ),
+    )(proj.astype(jnp.float32), pts_p, features.reshape(B, H * W, C), g_p)
+
+    d_feat = dfeat.reshape(B, H, W, C).astype(features.dtype)
+    d_pts = dpts[:, :N].astype(points.dtype)
+    return d_feat, d_pts, jnp.zeros_like(proj)
+
+
+gather_bilinear_projected.defvjp(_pfwd, _pbwd)

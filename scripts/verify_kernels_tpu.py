@@ -60,6 +60,65 @@ def main():
         ok &= _check(f"{name} d-feats", gk[0], gr[0], 5e-3, 1e-2)
         ok &= _check(f"{name} d-coords", gk[1], gr[1], 5e-3, 1e-1)
 
+    # ---- projected windowed gather (world points + packed projection in)
+    from avr_tpu.ops.pallas.gather import gather_bilinear_projected
+    from avr_tpu.ops.pallas.march import pack_projection
+
+    Bp = 4
+    posesp = []
+    prng = np.random.default_rng(5)
+    for b in range(Bp):
+        Q, _ = np.linalg.qr(np.eye(3) + 0.1 * prng.normal(size=(3, 3)))
+        t = np.array([0.05, -0.03, 1.2 + 0.05 * b])
+        posesp.append(np.concatenate([Q, t[:, None]], 1))
+    posesp = jnp.asarray(np.stack(posesp).astype(np.float32))
+    focalp = jnp.asarray([[70.0, -70.0]] * Bp, jnp.float32)
+    ccp = jnp.asarray([[32.0, 32.0]] * Bp, jnp.float32)
+    scalep = jnp.asarray([2.0 * W / (W - 1), 2.0 * H / (H - 1)], jnp.float32)
+    imgp = jnp.asarray([float(W), float(H)], jnp.float32)
+    projp = pack_projection(posesp, focalp, ccp, scalep, imgp)
+    # points bounded away from the camera plane: near cam-z = 0 the 1/z
+    # amplifies f32 rounding unboundedly in ANY implementation
+    ptsp = jnp.asarray((0.25 * prng.normal(size=(Bp, N, 3))).astype(np.float32))
+
+    def _proj_ref(f, p):
+        # HIGHEST precision like the production XLA path (pixelnerf._query):
+        # a default-precision einsum loses ~8 bits on cam-z and the grid
+        # error explodes near grazing rays — the kernel (measured against
+        # float64) is the *more* accurate side
+        cam = jnp.einsum("bij,bnj->bni", posesp[:, :, :3], p,
+                         precision="highest") + posesp[:, None, :, 3]
+        uv = -cam[..., :2] / cam[..., 2:3] * focalp[:, None] + ccp[:, None]
+        grid = uv * (scalep / imgp)[None, None] - 1.0
+        return grid_sample_2d(f, grid)
+
+    out_p = jax.jit(lambda f, p: gather_bilinear_projected(f, p, projp))(feats, ptsp)
+    ref_p = _proj_ref(feats, ptsp)
+    ok &= _check("gather_bilinear_projected fwd", out_p, ref_p, 1e-4, 1e-3)
+    gp_ = jax.jit(jax.grad(
+        lambda f, p, ct: jnp.sum(gather_bilinear_projected(f, p, projp) * ct),
+        argnums=(0, 1),
+    ))(feats, ptsp, cot)
+    gr_ = jax.jit(jax.grad(
+        lambda f, p, ct: jnp.sum(_proj_ref(f, p) * ct), argnums=(0, 1),
+    ))(feats, ptsp, cot)
+    ok &= _check("gather_bilinear_projected d-feats", gp_[0], gr_[0], 5e-3, 1e-2)
+    # d-points: the kernel computes its own (f64-verified) grid, so points
+    # within f32 rounding of a bilinear cell edge land in different cells
+    # than the XLA chain — the gradient is cell-local and those few points
+    # legitimately disagree outright.  Compare robustly: cosine + fraction
+    # of agreeing elements.
+    a_ = np.asarray(gp_[1], np.float64).ravel()
+    b_ = np.asarray(gr_[1], np.float64).ravel()
+    cosd = float(a_ @ b_ / (np.linalg.norm(a_) * np.linalg.norm(b_) + 1e-30))
+    scale_ref = np.abs(b_).max() + 1e-30
+    frac = float((np.abs(a_ - b_) <= 5e-3 * scale_ref).mean())
+    dp_ok = cosd > 0.999 and frac > 0.995
+    ok &= dp_ok
+    print(("PASS" if dp_ok else "FAIL") +
+          f"  gather_bilinear_projected d-points (cos={cosd:.5f} "
+          f"agree={frac:.4f}; cell-edge flips excluded)")
+
     # ---- fused decoder
     from avr_tpu.models.mlp import ResnetFC
 

@@ -128,3 +128,54 @@ def test_windowed_small_map_single_window(rng):
     got = np.asarray(gather_bilinear_windowed(feats, coords, True))
     want = np.asarray(grid_sample_2d(feats, coords))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Projected variant: world points + packed projection in, the whole
+# world->cam -> perspective -> align-corners-grid chain in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def test_projected_gather_matches_xla_chain():
+    from avr_tpu.ops.pallas.gather import gather_bilinear_projected
+    from avr_tpu.ops.pallas.march import pack_projection
+    from avr_tpu.ops.grid_sample import grid_sample_2d
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, N = 2, 16, 16, 64, 300
+    feats = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    poses = []
+    for b in range(B):
+        Q, _ = np.linalg.qr(np.eye(3) + 0.1 * rng.normal(size=(3, 3)))
+        t = np.array([0.05, -0.03, 1.2 + 0.1 * b])
+        poses.append(np.concatenate([Q, t[:, None]], 1))
+    poses = jnp.asarray(np.stack(poses).astype(np.float32))
+    focal = jnp.asarray([[20.0, -20.0]] * B, jnp.float32)
+    c = jnp.asarray([[8.0, 8.0]] * B, jnp.float32)
+    scale = jnp.asarray([2.0 * W / (W - 1), 2.0 * H / (H - 1)], jnp.float32)
+    img = jnp.asarray([float(W), float(H)], jnp.float32)
+    proj = pack_projection(poses, focal, c, scale, img)
+    pts = jnp.asarray((0.4 * rng.normal(size=(B, N, 3))).astype(np.float32))
+
+    def ref(feats_, pts_):
+        cam = jnp.einsum("bij,bnj->bni", poses[:, :, :3], pts_) + poses[:, None, :, 3]
+        uv = -cam[..., :2] / cam[..., 2:3] * focal[:, None] + c[:, None]
+        grid = uv * (scale / img)[None, None] - 1.0
+        return grid_sample_2d(feats_, grid)
+
+    def ker(feats_, pts_):
+        return gather_bilinear_projected(feats_, pts_, proj, True)
+
+    np.testing.assert_allclose(
+        np.asarray(ker(feats, pts)), np.asarray(ref(feats, pts)),
+        atol=2e-5, rtol=2e-5,
+    )
+    g = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    gr = jax.grad(lambda f, p: jnp.sum(ref(f, p) * g), argnums=(0, 1))(feats, pts)
+    gk = jax.grad(lambda f, p: jnp.sum(ker(f, p) * g), argnums=(0, 1))(feats, pts)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=5e-5, rtol=5e-4)
+    # d-points passes through the -xy/z*f chain; f32 rounding scales with
+    # the focal (values O(10-100))
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                               atol=3e-3, rtol=3e-3)
