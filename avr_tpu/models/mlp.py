@@ -197,9 +197,15 @@ class ResnetFC(nn.Module):
 
             SB, NS, B, _ = x.shape
             # (SB, NS, B, d) -> (NS, SB*B, d): a point's views share a grid
-            # block so the kernel's in-VMEM mean pool sees them together
-            xt = jnp.swapaxes(x, 0, 1).reshape(NS, SB * B, x.shape[-1])
-            zt = jnp.swapaxes(z, 0, 1).reshape(NS, SB * B, z.shape[-1])
+            # block so the kernel's in-VMEM mean pool sees them together.
+            # With NS == 1 the swap is a pure reshape (same linear order),
+            # spelled as one.
+            if NS == 1:
+                xt = x.reshape(1, SB * B, x.shape[-1])
+                zt = z.reshape(1, SB * B, z.shape[-1])
+            else:
+                xt = jnp.swapaxes(x, 0, 1).reshape(NS, SB * B, x.shape[-1])
+                zt = jnp.swapaxes(z, 0, 1).reshape(NS, SB * B, z.shape[-1])
             out = fused_resnetfc(
                 xt, zt,
                 self.variables["params"],
