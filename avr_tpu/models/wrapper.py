@@ -49,6 +49,13 @@ class RadFieldRenderer(nn.Module):
     # "never" | "auto" (TPU backends; NS >= 1, early-stop supported) |
     # "always" (also on CPU via interpret mode, for tests).
     fused_march: str = "auto"
+    # Fused Pallas band compositing (avr_tpu/ops/pallas/integrate.py):
+    # same "never" | "auto" | "always" convention.  Measured ~neutral at
+    # benchmark shapes (the XLA integral fusions it removes are paid back
+    # by the (N, 4) -> (R, 4n) relayout feeding the kernel; PERF.md), so
+    # not default — it pays once the decoder emits ray-major lanes
+    # directly (round-3 lever).
+    fused_integral: str = "never"
 
     @property
     def has_marcher(self) -> bool:
@@ -140,6 +147,7 @@ class RadFieldRenderer(nn.Module):
                 cfg, key, field, features, cell, step_head,
                 xy_pix, intrinsics, cam2world, march_fn=march_fn,
                 sort_key_fn=self._maybe_sort_key(cond),
+                fused_integral=self.fused_integral,
             )
         raise NotImplementedError(f"Unknown renderer config {type(cfg)}")
 

@@ -43,6 +43,7 @@ def render_adaptive(
     cam2world: jnp.ndarray,  # (SB, R, 4, 4)
     march_fn=None,  # optional override: march_fn(key, ros, rds) -> coords
     sort_key_fn=None,  # optional: coords (SB, R, 3) -> (SB, R) locality key
+    fused_integral: str = "auto",  # 'never' | 'auto' (TPU) | 'always' (CPU: interpret)
 ) -> RenderOutput:
     ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
     k_march, k_band = jax.random.split(key)
@@ -97,10 +98,31 @@ def render_adaptive(
     else:
         ros_q, rds_q, z_q = ros, rds, z_sorted
 
-    sigma, rad = _query(field, ros_q, rds_q, z_q, coarse=False)
-    rgb, distance, _ = volume_integral(
-        z_q, sigma, rad, white_back=cfg.white_back
+    backend = jax.default_backend()
+    use_fi = fused_integral == "always" or (
+        fused_integral == "auto" and backend not in ("cpu", "gpu")
     )
+    if use_fi:
+        # fused Pallas compositing (ops/pallas/integrate.py): the field
+        # output is already ray-major (SB, R*n, 4) — exactly the kernel's
+        # layout — so the whole alpha/transmittance/white-back chain plus
+        # its backward never leaves VMEM
+        from avr_tpu.ops.pallas.integrate import fused_volume_integral
+
+        SBq, Rq, nq = z_q.shape
+        pts = ros_q[..., None, :] + rds_q[..., None, :] * z_q[..., None]
+        vd = jnp.broadcast_to(rds_q[..., None, :], (SBq, Rq, nq, 3))
+        out = field(
+            pts.reshape(SBq, Rq * nq, 3), vd.reshape(SBq, Rq * nq, 3), False
+        )
+        rgb, distance = fused_volume_integral(
+            z_q, out, white_back=cfg.white_back, interpret=backend == "cpu"
+        )
+    else:
+        sigma, rad = _query(field, ros_q, rds_q, z_q, coarse=False)
+        rgb, distance, _ = volume_integral(
+            z_q, sigma, rad, white_back=cfg.white_back
+        )
 
     if sort_key_fn is not None:
         rgb = take(rgb, inv)

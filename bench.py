@@ -94,6 +94,7 @@ def main():
         dtype=DTYPE,
         remat_field=os.environ.get("BENCH_REMAT", "0") == "1",
         fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"),
+        fused_integral=os.environ.get("BENCH_FUSED_INTEGRAL", "auto"),
     )
 
     rng = np.random.default_rng(0)

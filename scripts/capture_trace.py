@@ -24,7 +24,8 @@ model_cfg = dataclasses.replace(ModelConfig.from_conf(conf["model"]),
 model = RadFieldRenderer(model_cfg=model_cfg,
                          renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
                          dtype=jnp.bfloat16, remat_field=False,
-                         fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"))
+                         fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"),
+                         fused_integral=os.environ.get("BENCH_FUSED_INTEGRAL", "auto"))
 rng = np.random.default_rng(0)
 images = jnp.asarray(rng.normal(size=(SB, NS, SIDE, SIDE, 3)).astype(np.float32))
 c2w = np.eye(4, dtype=np.float32) @ np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)

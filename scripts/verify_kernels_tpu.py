@@ -263,6 +263,47 @@ def main():
           f"  pallas uniform RNG (mean={u.mean():.4f} var={u.var():.4f} "
           f"deterministic={np.array_equal(u, u2)} blockcorr={corr:.4f})")
 
+    # ---- fused volume integral (band compositing, f32 exact oracle)
+    from avr_tpu.ops.integrate import volume_integral
+    from avr_tpu.ops.pallas.integrate import fused_volume_integral
+
+    SBi, Ri, ni = 2, 4096, 20
+    irng = np.random.default_rng(7)
+    zi = jnp.asarray(np.sort(
+        irng.uniform(0.6, 1.9, size=(SBi, Ri, ni)).astype(np.float32), -1))
+    sigi = np.abs(irng.normal(size=(SBi, Ri, ni, 1))).astype(np.float32) * 3.0
+    sigi[0, :500] = 0.0
+    rgbi = jax.nn.sigmoid(jnp.asarray(
+        irng.normal(size=(SBi, Ri, ni, 3)).astype(np.float32)))
+    foi = jnp.concatenate([rgbi, jnp.asarray(sigi)], -1).reshape(SBi, Ri * ni, 4)
+    gi1 = jnp.asarray(irng.normal(size=(SBi, Ri, 3)).astype(np.float32))
+    gi2 = jnp.asarray(irng.normal(size=(SBi, Ri, 1)).astype(np.float32))
+
+    def _int_ref(z_, fo_):
+        f = fo_.reshape(SBi, Ri, ni, 4)
+        rgb, dist, _ = volume_integral(z_, f[..., 3:4], f[..., :3],
+                                       white_back=True)
+        return rgb, dist
+
+    ir, idist = jax.jit(lambda a, b: fused_volume_integral(a, b))(zi, foi)
+    rr, rdist = jax.jit(_int_ref)(zi, foi)
+    ok &= _check("fused integral rgb", ir, rr, 1e-4, 1e-4)
+    ok &= _check("fused integral dist", idist, rdist, 1e-4, 1e-4)
+
+    def _int_loss(f):
+        def loss(z_, fo_):
+            rgb, dist = f(z_, fo_)
+            return jnp.sum(rgb * gi1) + jnp.sum(dist * gi2)
+        return loss
+
+    gk_i = jax.jit(jax.grad(_int_loss(
+        lambda a, b: fused_volume_integral(a, b)), argnums=(0, 1)))(zi, foi)
+    gr_i = jax.jit(jax.grad(_int_loss(_int_ref), argnums=(0, 1)))(zi, foi)
+    ok &= _check("fused integral d-z", gk_i[0], gr_i[0], 1e-3, 1e-2)
+    sc = float(jnp.max(jnp.abs(gr_i[1]))) + 1e-30
+    ok &= _check("fused integral d-field (scaled)", gk_i[1] / sc,
+                 gr_i[1] / sc, 1e-5, 1e-3)
+
     # ---- fused march (f32 compute so the jnp reference is exact-ish).
     # Checked at 2 steps: the march is a chaotic recurrence (LSTM + discrete
     # bilinear tap boundaries), so ~1e-7 per-step differences between the

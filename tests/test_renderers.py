@@ -360,3 +360,65 @@ def test_adaptive_sort_key_is_pure_permutation():
                  (base.rgb_coarse, sorted_out.rgb_coarse)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_adaptive_fused_integral_matches_unfused():
+    """The fused Pallas band compositing (ops/pallas/integrate.py) must
+    reproduce render_adaptive's unfused output — values and grads through
+    the whole render (band z gradient included)."""
+    import numpy as np
+
+    from avr_tpu.models.pixelnerf import ModelConfig
+    from avr_tpu.models.wrapper import RadFieldRenderer
+    from avr_tpu.renderers.base import AdaptiveRendererConfig
+
+    rng = np.random.default_rng(0)
+    SB, NS, SIDE, R = 1, 1, 16, 12
+    mcfg = ModelConfig(
+        use_encoder=True, use_xyz=True, use_code=True, use_viewdirs=True,
+    )
+    rcfg = AdaptiveRendererConfig(raymarch_steps=2, n_coarse=20)
+
+    def mk(fi):
+        return RadFieldRenderer(
+            model_cfg=mcfg, renderer_cfg=rcfg, fused_integral=fi,
+            fused_march="never",
+        )
+
+    images = jnp.asarray(rng.normal(size=(SB, NS, SIDE, SIDE, 3)).astype(np.float32))
+    poses = jnp.broadcast_to(jnp.eye(4), (SB, NS, 4, 4)).at[:, :, 2, 3].set(1.3)
+    focal = jnp.float32(14.0)
+    xy = jnp.asarray(rng.uniform(0.2, 0.8, size=(SB, R, 2)).astype(np.float32))
+    K = jnp.broadcast_to(
+        jnp.asarray([[0.875, 0, 0.5], [0, 0.875, 0.5], [0, 0, 1]], jnp.float32),
+        (SB, 3, 3),
+    )
+    c2w = jnp.broadcast_to(poses[:, 0], (SB, R, 4, 4))
+
+    variables = mk("never").init(
+        jax.random.PRNGKey(0), images, poses, focal, None,
+        method=RadFieldRenderer.init_all,
+    )
+
+    def run(fi, v):
+        def f(m):
+            cond = m.encode(images, poses, focal, None)
+            return m.render(cond, xy, K, c2w, jax.random.PRNGKey(3))
+        return mk(fi).apply(v, method=f)
+
+    o_ref = run("never", variables)
+    o_fus = run("always", variables)
+    np.testing.assert_allclose(np.asarray(o_fus.rgb_fine),
+                               np.asarray(o_ref.rgb_fine), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_fus.depth_fine),
+                               np.asarray(o_ref.depth_fine), atol=1e-5, rtol=1e-5)
+
+    def loss(fi, v):
+        out = run(fi, v)
+        return jnp.mean(out.rgb_fine ** 2) + jnp.mean(out.depth_fine ** 2)
+
+    g_ref = jax.grad(lambda v: loss("never", v))(variables)
+    g_fus = jax.grad(lambda v: loss("always", v))(variables)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-4)
