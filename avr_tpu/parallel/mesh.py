@@ -86,8 +86,28 @@ def shard_train_inputs(
     model_input: Dict,
     gt,
 ):
-    """Device-put one train step's inputs with the mesh's sharding plan."""
-    put = jax.device_put
+    """Device-put one train step's inputs with the mesh's sharding plan.
+
+    Multi-process: every host's input pipeline assembles a full
+    global-batch-shaped step (deterministically — the per-step RNG is
+    ``(seed, global step)`` on every host), but with its *own* dataset
+    shard's instances in the rows; each host then materializes only the
+    shards its local devices own (``jax.make_array_from_callback``), so
+    the rows of the global batch owned by host h carry host h's data.
+    ``jax.device_put`` cannot be used here: it asserts the value is
+    identical on every process, which per-host data deliberately is not.
+    """
+    if jax.process_count() > 1:
+        import numpy as _np
+
+        def put(arr, sharding):
+            arr = _np.asarray(arr)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+
+    else:
+        put = jax.device_put
     src_images = put(src_images, batch_sharding(mesh, 5))
     src_poses = put(src_poses, batch_sharding(mesh, 4))
     focal = put(focal, replicated(mesh))

@@ -42,9 +42,24 @@ def initialize(
 
     With TPU pod metadata available all arguments are auto-detected; pass
     them explicitly for manual clusters.
+
+    Fail-loud contract: when a multi-process job was *requested* — an
+    explicit ``num_processes > 1``, an explicit ``coordinator_address``,
+    or coordinator env configuration (``JAX_COORDINATOR_ADDRESS``) — any
+    initialization failure raises.  Silently proceeding single-process
+    there would train N independent models while logging normally.  Only
+    the bare auto-detect path on a host with no cluster metadata (the
+    dev-box case) degrades to single-process.
     """
     if num_processes is not None and num_processes <= 1:
         return
+    import os
+
+    multi_requested = (
+        (num_processes is not None and num_processes > 1)
+        or coordinator_address is not None
+        or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -52,7 +67,7 @@ def initialize(
             process_id=process_id,
         )
     except (RuntimeError, ValueError) as e:  # already initialized / 1-proc
-        if "already" not in str(e).lower() and num_processes not in (None, 1):
+        if "already" not in str(e).lower() and multi_requested:
             raise
 
 
