@@ -50,11 +50,13 @@ class RadFieldRenderer(nn.Module):
     # "always" (also on CPU via interpret mode, for tests).
     fused_march: str = "auto"
     # Fused Pallas band compositing (avr_tpu/ops/pallas/integrate.py):
-    # same "never" | "auto" | "always" convention.  Measured ~neutral at
-    # benchmark shapes (the XLA integral fusions it removes are paid back
-    # by the (N, 4) -> (R, 4n) relayout feeding the kernel; PERF.md), so
-    # not default — it pays once the decoder emits ray-major lanes
-    # directly (round-3 lever).
+    # same "never" | "auto" | "always" convention.  Rejected as default
+    # after two measured attempts: round 2's ray-major kernel was ~neutral
+    # (the feeding relayout paid back the win) and round 3's point-major
+    # rewrite — which consumes the decoder output with NO relayout and is
+    # exact to 6e-7 on device — still measured ~4 ms/step slower end to
+    # end (grid overhead + boundary layouts vs ~2 ms of already-optimal
+    # XLA fusions; PERF.md round 3).  Kept selectable for bigger n.
     fused_integral: str = "never"
 
     @property
@@ -115,7 +117,10 @@ class RadFieldRenderer(nn.Module):
                 return self.net(cond, xyz, viewdirs=viewdirs, coarse=coarse, train=train)
 
         if isinstance(cfg, VolumeRendererConfig):
-            return render_volume(cfg, key, field, xy_pix, intrinsics, cam2world)
+            return render_volume(
+                cfg, key, field, xy_pix, intrinsics, cam2world,
+                sort_key_fn=self._maybe_sort_key(cond),
+            )
 
         def features(xyz, viewdirs):
             return self.net(

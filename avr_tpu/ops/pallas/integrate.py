@@ -7,13 +7,17 @@ program this chain is a string of (SB, R, n)-shaped fusions plus a cumprod
 whose reverse-mode transpose spreads through the big backward fusion; here
 the whole fwd+bwd lives on (blk, n) registers.
 
-Layout trick: rays are rows, samples are lanes.  The field output arrives
-point-major ``(SB, R*n, 4)`` and is viewed as ``(SB, R, n*4)`` (a free
-reshape); per-channel planes are peeled with exact one-hot lane-select
-matmuls, and every within-ray shift / prefix-product / suffix-sum is an
-``n x n`` one-hot or triangular contraction on the MXU — no in-kernel
-relayouts, no strided lane access.  The helper matrices are 0/1, so the
-selects are exact at HIGHEST precision.
+Layout: the kernel consumes the decoder's output **exactly as the decoder
+emits it** — point-major ``(SB, R*n, 4)`` rows (sample ``k`` of ray ``r``
+at row ``r*n + k``).  Round 2 fed the kernel ray-major ``(R, 4n)`` lanes
+and paid a ~2 ms XLA relayout for it (measured ~neutral end-to-end,
+PERF.md); now the point-major -> ray-major fold happens *in-kernel* as two
+exact one-hot MXU contractions per channel (gather rows into sample lanes,
+scatter back in the backward), so no relayout exists anywhere.  Rays are
+rows, samples are lanes, and every within-ray shift / prefix-product /
+suffix-sum is an ``n x n`` one-hot or triangular contraction on the MXU —
+no strided lane access.  The helper matrices are 0/1, so the selects are
+exact at HIGHEST precision.
 
 The exclusive prefix product (transmittance) uses multiplicative doubling
 (shift-by-2^k selects + elementwise multiplies): exact floating products,
@@ -37,7 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_volume_integral"]
 
-_BLK_R = 512  # rays per grid step
+# Rays per grid step.  The fold matrices are (blk_r, blk_r * n) one-hots
+# and every (rows, n) temporary pads its lanes to 128, so VMEM scales with
+# blk_r * n * 128: 64 rays x 20 samples keeps the kernel inside the 16 MB
+# scoped-vmem limit (128 rays OOMed at 22 MB on v5e).
+_BLK_R = 64
 _HI = jax.lax.Precision.HIGHEST  # exact one-hot selects
 
 
@@ -56,8 +64,15 @@ def _mats(n: int):
     ``prv``: (x @ prv)[:, k] = x[:, k-1] (0 fill);
     ``suf``: (x @ suf)[:, k] = sum_{j > k} x[:, j];
     ``shf``: stacked shift-right-by-2^i selects (0 fill);
-    ``sel``: stacked channel peels, (fo @ sel[c]) -> (blk, n) for channel c
-    of the interleaved (blk, 4n) field output.
+    ``gat``: (blk_r, blk_r * n) ray-row fold (one-hot on p // n);
+    ``sct``: its transpose, scattering plane cotangents back to rows;
+    ``chn``: (4, 4n) channel spread (chn[c, c*n+k] = 1) and ``chnT`` its
+    transpose — with ``lane4`` (blk_r * n, 4n) the per-channel sample-lane
+    mask (lane4[p, c*n+k] = [p % n == k]), the whole point-major ->
+    ray-major fold is TWO exact matmuls:
+    ``planes = gat @ ((fo @ chn) * lane4)`` gives the four (blk_r, n)
+    channel planes lane-blocked, and ``d_fo = ((sct @ D) * lane4) @ chnT``
+    scatters the stacked plane cotangents D (blk_r, 4n) back.
     """
     eye = np.eye(n, dtype=np.float32)
     nxt = np.zeros((n, n), np.float32)
@@ -69,28 +84,38 @@ def _mats(n: int):
     for i, s in enumerate(steps):
         # shift RIGHT: (x @ shf[i])[:, k] = x[:, k - s] (0 fill)
         shf[i, : n - s, s:] = np.eye(n - s, dtype=np.float32)
-    sel = np.zeros((4, 4 * n, n), np.float32)
+    rows = _BLK_R * n
+    p = np.arange(rows)
+    gat = np.zeros((_BLK_R, rows), np.float32)
+    gat[p // n, p] = 1.0
+    sct = np.ascontiguousarray(gat.T)
+    chn = np.zeros((4, 4 * n), np.float32)
     for c in range(4):
-        for k in range(n):
-            sel[c, 4 * k + c, k] = 1.0
-    selT = np.ascontiguousarray(np.swapaxes(sel, 1, 2))
-    return nxt, prv, suf, shf, sel, selT
+        chn[c, c * n : (c + 1) * n] = 1.0
+    chnT = np.ascontiguousarray(chn.T)
+    lane1 = np.zeros((rows, n), np.float32)
+    lane1[p, p % n] = 1.0
+    lane4 = np.tile(lane1, (1, 4))
+    return nxt, prv, suf, shf, gat, sct, chn, chnT, lane4
 
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_HI)
 
 
-def _core(z, fo, nxt_ref, shf_ref, sel_ref, *, n, infinity):
+def _core(z, fo, nxt_ref, shf_ref, gat_ref, chn_ref, lane4_ref, *, n,
+          infinity):
     """Shared forward math on (blk, n) registers."""
     lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     last = (lane == n - 1).astype(jnp.float32)
     notlast = 1.0 - last
 
-    r = _dot(fo, sel_ref[0])
-    g = _dot(fo, sel_ref[1])
-    b = _dot(fo, sel_ref[2])
-    sig = _dot(fo, sel_ref[3])
+    # point-major (rows, 4) -> four ray-major (blk_r, n) planes
+    planes = _dot(gat_ref[...], _dot(fo, chn_ref[...]) * lane4_ref[...])
+    r = planes[:, :n]
+    g = planes[:, n : 2 * n]
+    b = planes[:, 2 * n : 3 * n]
+    sig = planes[:, 3 * n :]
 
     z_next = _dot(z, nxt_ref[...])
     delta = notlast * (z_next - z) + last * 1e10
@@ -109,12 +134,13 @@ def _core(z, fo, nxt_ref, shf_ref, sel_ref, *, n, infinity):
     return r, g, b, sig, delta, e, q, t, w, zz, lane, notlast
 
 
-def _fwd_kernel(z_ref, fo_ref, nxt_ref, shf_ref, sel_ref, out_ref, *, n,
-                white_back, infinity):
+def _fwd_kernel(z_ref, fo_ref, nxt_ref, shf_ref, gat_ref, chn_ref, lane4_ref,
+                out_ref, *, n, white_back, infinity):
     z = z_ref[0].astype(jnp.float32)
     fo = fo_ref[0].astype(jnp.float32)
     r, g, b, sig, delta, e, q, t, w, zz, lane, notlast = _core(
-        z, fo, nxt_ref, shf_ref, sel_ref, n=n, infinity=infinity
+        z, fo, nxt_ref, shf_ref, gat_ref, chn_ref, lane4_ref, n=n,
+        infinity=infinity
     )
     rgb_r = jnp.sum(w * r, axis=1, keepdims=True)
     rgb_g = jnp.sum(w * g, axis=1, keepdims=True)
@@ -132,13 +158,14 @@ def _fwd_kernel(z_ref, fo_ref, nxt_ref, shf_ref, sel_ref, out_ref, *, n,
 
 
 def _bwd_kernel(z_ref, fo_ref, gout_ref, nxt_ref, prv_ref, suf_ref, shf_ref,
-                sel_ref, selT_ref, dz_ref, dfo_ref, *, n, white_back,
-                infinity):
+                gat_ref, chn_ref, lane4_ref, sct_ref, chnT_ref, dz_ref,
+                dfo_ref, *, n, white_back, infinity):
     z = z_ref[0].astype(jnp.float32)
     fo = fo_ref[0].astype(jnp.float32)
     gout = gout_ref[0].astype(jnp.float32)
     r, g, b, sig, delta, e, q, t, w, zz, lane, notlast = _core(
-        z, fo, nxt_ref, shf_ref, sel_ref, n=n, infinity=infinity
+        z, fo, nxt_ref, shf_ref, gat_ref, chn_ref, lane4_ref, n=n,
+        infinity=infinity
     )
     g_r, g_g, g_b = gout[:, 0:1], gout[:, 1:2], gout[:, 2:3]
     g_d = gout[:, 3:4]
@@ -165,10 +192,10 @@ def _bwd_kernel(z_ref, fo_ref, gout_ref, nxt_ref, prv_ref, suf_ref, shf_ref,
     wgd = notlast * (w * g_d)
     d_z = _dot(d_delta + wgd, prv_ref[...]) - d_delta
 
-    d_fo = (
-        _dot(w * g_r, selT_ref[0]) + _dot(w * g_g, selT_ref[1])
-        + _dot(w * g_b, selT_ref[2]) + _dot(d_sig, selT_ref[3])
-    )
+    # scatter the stacked plane cotangents back to point-major rows:
+    # d_fo[p, c] = D_c[p // n, p % n] via two exact matmuls (see _mats)
+    D = jnp.concatenate([w * g_r, w * g_g, w * g_b, d_sig], axis=1)
+    d_fo = _dot(_dot(sct_ref[...], D) * lane4_ref[...], chnT_ref[...])
     dz_ref[0] = d_z.astype(dz_ref.dtype)
     dfo_ref[0] = d_fo.astype(dfo_ref.dtype)
 
@@ -182,8 +209,9 @@ _blkmap = lambda b, i: (b, i, 0)
 def _make(n: int, white_back: bool, infinity: float, interpret: bool):
     # numpy constants (NOT jnp: this factory is lru-cached and jnp arrays
     # created inside a trace would leak that trace's tracers)
-    nxt, prv, suf, shf, sel, selT = _mats(n)
+    nxt, prv, suf, shf, gat, sct, chn, chnT, lane4 = _mats(n)
     n_steps = shf.shape[0]
+    rows = _BLK_R * n
 
     def mat_specs(with_bwd):
         specs = [
@@ -196,12 +224,15 @@ def _make(n: int, white_back: bool, infinity: float, interpret: bool):
             ]
         specs += [
             pl.BlockSpec((n_steps, n, n), _full3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * n, n), _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK_R, rows), _full, memory_space=pltpu.VMEM),   # gat
+            pl.BlockSpec((4, 4 * n), _full, memory_space=pltpu.VMEM),       # chn
+            pl.BlockSpec((rows, 4 * n), _full, memory_space=pltpu.VMEM),    # lane4
         ]
         if with_bwd:
-            specs.append(
-                pl.BlockSpec((4, n, 4 * n), _full3, memory_space=pltpu.VMEM)
-            )
+            specs += [
+                pl.BlockSpec((rows, _BLK_R), _full, memory_space=pltpu.VMEM),  # sct
+                pl.BlockSpec((4 * n, 4), _full, memory_space=pltpu.VMEM),      # chnT
+            ]
         return specs
 
     def _run_fwd(z, fo):
@@ -209,22 +240,21 @@ def _make(n: int, white_back: bool, infinity: float, interpret: bool):
         Rp = max(pl.cdiv(R, _BLK_R), 1) * _BLK_R
         if Rp != R:
             z = jnp.pad(z, ((0, 0), (0, Rp - R), (0, 0)), constant_values=1.0)
-            fo = jnp.pad(fo, ((0, 0), (0, Rp - R), (0, 0)))
+            fo = jnp.pad(fo, ((0, 0), (0, (Rp - R) * n), (0, 0)))
         out = pl.pallas_call(
             functools.partial(_fwd_kernel, n=n, white_back=white_back,
                               infinity=infinity),
             grid=(SB, Rp // _BLK_R),
             in_specs=[
                 pl.BlockSpec((1, _BLK_R, n), _blkmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _BLK_R, 4 * n), _blkmap,
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, 4), _blkmap, memory_space=pltpu.VMEM),
                 *mat_specs(False),
             ],
             out_specs=pl.BlockSpec((1, _BLK_R, 8), _blkmap,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((SB, Rp, 8), jnp.float32),
             interpret=interpret,
-        )(z, fo, nxt, shf, sel)
+        )(z, fo, nxt, shf, gat, chn, lane4)
         return out[:, :R]
 
     @jax.custom_vjp
@@ -241,7 +271,7 @@ def _make(n: int, white_back: bool, infinity: float, interpret: bool):
         zp, fop, gp = z, fo, gout.astype(jnp.float32)
         if Rp != R:
             zp = jnp.pad(zp, ((0, 0), (0, Rp - R), (0, 0)), constant_values=1.0)
-            fop = jnp.pad(fop, ((0, 0), (0, Rp - R), (0, 0)))
+            fop = jnp.pad(fop, ((0, 0), (0, (Rp - R) * n), (0, 0)))
             gp = jnp.pad(gp, ((0, 0), (0, Rp - R), (0, 0)))
         dz, dfo = pl.pallas_call(
             functools.partial(_bwd_kernel, n=n, white_back=white_back,
@@ -249,23 +279,21 @@ def _make(n: int, white_back: bool, infinity: float, interpret: bool):
             grid=(SB, Rp // _BLK_R),
             in_specs=[
                 pl.BlockSpec((1, _BLK_R, n), _blkmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _BLK_R, 4 * n), _blkmap,
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, 4), _blkmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _BLK_R, 8), _blkmap, memory_space=pltpu.VMEM),
                 *mat_specs(True),
             ],
             out_specs=[
                 pl.BlockSpec((1, _BLK_R, n), _blkmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _BLK_R, 4 * n), _blkmap,
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, 4), _blkmap, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((SB, Rp, n), jnp.float32),
-                jax.ShapeDtypeStruct((SB, Rp, 4 * n), jnp.float32),
+                jax.ShapeDtypeStruct((SB, Rp * n, 4), jnp.float32),
             ],
             interpret=interpret,
-        )(zp, fop, gp, nxt, prv, suf, shf, sel, selT)
-        return dz[:, :R].astype(z.dtype), dfo[:, :R].astype(fo.dtype)
+        )(zp, fop, gp, nxt, prv, suf, shf, gat, chn, lane4, sct, chnT)
+        return dz[:, :R].astype(z.dtype), dfo[:, : R * n].astype(fo.dtype)
 
     fn.defvjp(fwd, bwd)
     return fn
@@ -277,14 +305,14 @@ def fused_volume_integral(z_vals, field_out, *, white_back: bool = True,
 
     Args:
       z_vals: ``(SB, R, n)`` sorted band depths.
-      field_out: ``(SB, R * n, 4)`` activated (rgb, sigma), ray-major rows
-        (sample ``k`` of ray ``r`` at row ``r * n + k``).
+      field_out: ``(SB, R * n, 4)`` activated (rgb, sigma), point-major rows
+        (sample ``k`` of ray ``r`` at row ``r * n + k``) — the decoder's
+        native output layout, consumed with no relayout.
 
     Returns ``(rgb (SB, R, 3), distance (SB, R, 1))`` — matching
     ``avr_tpu.ops.integrate.volume_integral``'s first two outputs.
     """
     SB, R, n = z_vals.shape
-    fo = field_out.reshape(SB, R, 4 * n)
     fn = _make(n, bool(white_back), float(infinity), bool(interpret))
-    out = fn(z_vals.astype(jnp.float32), fo)
+    out = fn(z_vals.astype(jnp.float32), field_out)
     return out[..., :3], out[..., 3:4]

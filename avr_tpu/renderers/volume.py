@@ -33,15 +33,31 @@ __all__ = ["render_volume"]
 FieldFn = Callable[[jnp.ndarray, jnp.ndarray, bool], jnp.ndarray]
 
 
-def _query(field: FieldFn, ros, rds, z_vals, coarse: bool):
+def _query(field: FieldFn, ros, rds, z_vals, coarse: bool, sort_key=None):
     """Evaluate the field at ``ro + rd * z`` for every sample.
+
+    ``sort_key`` (points ``(SB, N, 3)`` -> ``(SB, N)`` source-view row)
+    enables the point-level locality sort: unlike the adaptive band (whose
+    queries cluster around each ray's surface row), the classic renderer's
+    samples sweep [near, far] along every ray, so *ray*-level sorting can't
+    make 512-point blocks row-coherent — but a global per-point sort can.
+    Pure permutation: the big latent tensor is produced and consumed in
+    sorted order; only (N, 3) inputs and the (N, 4) output are shuffled.
 
     Returns ``(sigma, rgb)`` shaped ``(SB, R, n, 1)`` / ``(SB, R, n, 3)``.
     """
     SB, R, n = z_vals.shape
     pts = ros[..., None, :] + rds[..., None, :] * z_vals[..., None]  # (SB, R, n, 3)
     vd = jnp.broadcast_to(rds[..., None, :], (SB, R, n, 3))
-    out = field(pts.reshape(SB, R * n, 3), vd.reshape(SB, R * n, 3), coarse)
+    pts = pts.reshape(SB, R * n, 3)
+    vd = vd.reshape(SB, R * n, 3)
+    if sort_key is None:
+        out = field(pts, vd, coarse)
+    else:
+        order = jnp.argsort(sort_key(pts), axis=-1)  # (SB, N)
+        inv = jnp.argsort(order, axis=-1)
+        take = lambda a, o: jnp.take_along_axis(a, o[..., None], axis=1)
+        out = take(field(take(pts, order), take(vd, order), coarse), inv)
     out = out.reshape(SB, R, n, 4)
     return out[..., 3:4], out[..., :3]
 
@@ -53,6 +69,7 @@ def render_volume(
     xy_pix: jnp.ndarray,  # (SB, R, 2)
     intrinsics: jnp.ndarray,  # (SB, 3, 3)
     cam2world: jnp.ndarray,  # (SB, R, 4, 4)
+    sort_key_fn=None,  # optional: points (SB, N, 3) -> (SB, N) locality key
 ) -> RenderOutput:
     SB, R, _ = xy_pix.shape
     ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
@@ -63,7 +80,8 @@ def render_volume(
 
     # --- coarse pass -----------------------------------------------------
     z_coarse = sample_coarse(k_coarse, near, far, cfg.n_coarse)
-    sigma, rad = _query(field, ros, rds, z_coarse, coarse=True)
+    sigma, rad = _query(field, ros, rds, z_coarse, coarse=True,
+                        sort_key=sort_key_fn)
     rgb_coarse, dist_coarse, w_coarse = volume_integral(
         z_coarse, sigma, rad, white_back=cfg.white_back, infinity=cfg.far
     )
@@ -77,7 +95,8 @@ def render_volume(
     z_depth = jnp.clip(z_depth, cfg.near, cfg.far)
 
     z_all = jnp.sort(jnp.concatenate([z_coarse, z_fine, z_depth], axis=-1), axis=-1)
-    sigma, rad = _query(field, ros, rds, z_all, coarse=False)
+    sigma, rad = _query(field, ros, rds, z_all, coarse=False,
+                        sort_key=sort_key_fn)
     rgb_fine, dist_fine, _ = volume_integral(
         z_all, sigma, rad, white_back=cfg.white_back, infinity=cfg.far
     )

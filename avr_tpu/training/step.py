@@ -33,6 +33,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_params: LossParams,
     donate: bool = True,
+    ray_chunks: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -43,11 +44,23 @@ def make_train_step(
 
     where ``model_input = {x_pix, cam2world, intrinsics}`` holds the ray
     batch and ``gt`` the target colours in [0, 1].
+
+    ``ray_chunks > 1`` accumulates gradients over that many sequential
+    ray-chunks (encode runs once; each chunk renders R/ray_chunks rays,
+    its grads summed into fp32 accumulators, the conditioning cotangent
+    pulled back through the encoder once at the end).  Per-ray work is
+    independent, so the update equals the unchunked one up to summation
+    order — the point is *memory*: each chunk's backward residuals (e.g.
+    the fused decoder's activation stash, ~11 KB/point) only live for one
+    chunk, which keeps the stash backward inside its HBM budget at the
+    classic VolumeRenderer's 1.6 M fine points/step.  Deviations from the
+    unchunked step, both documented knobs: the loss NaN-guard applies
+    per chunk, and each chunk draws its own sampler RNG stream.
     """
     has_bn = model.model_cfg.encoder.norm_type == "batch"
 
     def step(state: TrainState, src_images, src_poses, focal, c, model_input, gt, key):
-        def compute_loss(params):
+        def enc(params):
             variables = {"params": params}
             mutable = []
             if state.batch_stats:
@@ -64,8 +77,15 @@ def make_train_step(
                     method=model.encode,
                 )
                 new_model_state = {}
+            return cond, new_model_state
+
+        def compute_loss(params):
+            cond, new_model_state = enc(params)
             out = model.apply(
-                variables, cond,
+                {"params": params, **(
+                    {"batch_stats": state.batch_stats} if state.batch_stats else {}
+                )},
+                cond,
                 model_input["x_pix"], model_input["intrinsics"],
                 model_input["cam2world"], key, train=True,
                 method=model.render,
@@ -73,9 +93,63 @@ def make_train_step(
             loss = loss_fn(out, gt, loss_params)
             return loss, new_model_state
 
-        (loss, new_model_state), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+        if ray_chunks == 1:
+            (loss, new_model_state), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+        else:
+            C = ray_chunks
+            R = gt.shape[1]
+            if R % C:
+                raise ValueError(f"ray batch {R} not divisible by ray_chunks {C}")
+            cond, enc_vjp, new_model_state = jax.vjp(
+                enc, state.params, has_aux=True
+            )
+
+            def chunk(a):  # (SB, R, ...) -> (C, SB, R/C, ...)
+                SB = a.shape[0]
+                return a.reshape(SB, C, R // C, *a.shape[2:]).swapaxes(0, 1)
+
+            intr = model_input["intrinsics"]
+            xs = (
+                chunk(model_input["x_pix"]),
+                chunk(model_input["cam2world"]),
+                chunk(gt),
+                jax.random.split(key, C),
+            )
+
+            def chunk_loss(params, cond_, x_pix, c2w, gt_k, k):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out = model.apply(
+                    variables, cond_, x_pix, intr, c2w, k, train=True,
+                    method=model.render,
+                )
+                return loss_fn(out, gt_k, loss_params)
+
+            def body(carry, x):
+                gp, gc, lacc = carry
+                x_pix, c2w, gt_k, k = x
+                l, (dgp, dgc) = jax.value_and_grad(chunk_loss, argnums=(0, 1))(
+                    state.params, cond, x_pix, c2w, gt_k, k
+                )
+                gp = jax.tree.map(jnp.add, gp, dgp)
+                gc = jax.tree.map(jnp.add, gc, dgc)
+                return (gp, gc, lacc + l), None
+
+            zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
+            (gp, gc, lsum), _ = jax.lax.scan(
+                body, (zeros(state.params), zeros(cond), jnp.float32(0.0)), xs
+            )
+            # total loss = mean over rays = mean of (equal-size) chunk means
+            loss = lsum / C
+            scale = 1.0 / C
+            gc = jax.tree.map(lambda t: t * scale, gc)
+            gp_enc = enc_vjp(gc)[0]
+            grads = jax.tree.map(
+                lambda a, b: a * scale + b, gp, gp_enc
+            )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

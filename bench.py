@@ -94,7 +94,10 @@ def main():
         dtype=DTYPE,
         remat_field=os.environ.get("BENCH_REMAT", "0") == "1",
         fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"),
-        fused_integral=os.environ.get("BENCH_FUSED_INTEGRAL", "auto"),
+        # default "never": the fused band integral measured ~4 ms/step
+        # SLOWER than XLA's own integral fusions even after the round-3
+        # point-major rewrite removed the relayout (PERF.md round 3)
+        fused_integral=os.environ.get("BENCH_FUSED_INTEGRAL", "never"),
     )
 
     rng = np.random.default_rng(0)
@@ -118,7 +121,10 @@ def main():
     )
     tx = optax.adam(1e-4)
     state = create_train_state(variables, tx)
-    step = make_train_step(model, tx, LossParams(loss_mode=loss_mode))
+    step = make_train_step(
+        model, tx, LossParams(loss_mode=loss_mode),
+        ray_chunks=int(os.environ.get("BENCH_RAY_CHUNKS", "1")),
+    )
 
     key = jax.random.PRNGKey(0)
     for i in range(WARMUP):

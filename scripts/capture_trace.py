@@ -13,17 +13,30 @@ jax.config.update("jax_default_prng_impl", os.environ.get("BENCH_PRNG", "rbg"))
 from avr_tpu.config import parse_conf
 from avr_tpu.models.pixelnerf import ModelConfig
 from avr_tpu.models.wrapper import RadFieldRenderer
-from avr_tpu.renderers.base import AdaptiveRendererConfig
+from avr_tpu.renderers.base import (
+    AdaptiveRendererConfig, RaymarcherConfig, VolumeRendererConfig,
+)
 from avr_tpu.training import LossParams, create_train_state, make_train_step
 
-SB, NS, SIDE, R = 4, 1, 128, 4096
+SB, NS, SIDE = 4, 1, 128
+R = int(os.environ.get("BENCH_RAYS", 4096))
 conf = parse_conf(_os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "conf", "default_mv.conf"))
 model_cfg = dataclasses.replace(ModelConfig.from_conf(conf["model"]),
                                 fused_mlp=os.environ.get("BENCH_FUSED_MLP", "auto"),
                                 gather_impl=os.environ.get("BENCH_GATHER", "auto"))
+RENDERER = os.environ.get("BENCH_RENDERER", "avr")
+if RENDERER == "vr":
+    renderer_cfg = VolumeRendererConfig.from_conf(conf["normal_renderer"])
+    loss_mode = "both"
+elif RENDERER == "raymarcher":
+    renderer_cfg = RaymarcherConfig.from_conf(conf["raymarcher"])
+    loss_mode = "coarse"
+else:
+    renderer_cfg = AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"])
+    loss_mode = "both"
 model = RadFieldRenderer(model_cfg=model_cfg,
-                         renderer_cfg=AdaptiveRendererConfig.from_conf(conf["adaptive_renderer"]),
-                         dtype=jnp.bfloat16, remat_field=False,
+                         renderer_cfg=renderer_cfg,
+                         dtype=jnp.bfloat16, remat_field=os.environ.get("BENCH_REMAT", "0") == "1",
                          fused_march=os.environ.get("BENCH_FUSED_MARCH", "auto"),
                          fused_integral=os.environ.get("BENCH_FUSED_INTEGRAL", "auto"))
 rng = np.random.default_rng(0)
@@ -41,7 +54,7 @@ model_input = {"x_pix": xy, "cam2world": rays_c2w, "intrinsics": K}
 variables = model.init(jax.random.PRNGKey(0), images, poses, focal, c, method=model.init_all)
 tx = optax.adam(1e-4)
 state = create_train_state(variables, tx)
-step = make_train_step(model, tx, LossParams(loss_mode="both"))
+step = make_train_step(model, tx, LossParams(loss_mode=loss_mode), ray_chunks=int(os.environ.get("BENCH_RAY_CHUNKS", "1")))
 key = jax.random.PRNGKey(0)
 for i in range(3):
     key, sub = jax.random.split(key)

@@ -117,3 +117,89 @@ def test_restore_missing_checkpoint_warns_not_crashes(tmp_path):
     with pytest.warns(UserWarning):
         out = restore_checkpoint(str(tmp_path), "missing", 0, state)
     assert out is state
+
+
+def test_ray_chunked_step_matches_unchunked(monkeypatch):
+    """ray_chunks=N accumulates to the same update as the monolithic step.
+
+    The chunked step draws per-chunk RNG, so the samplers are pinned to
+    shape-independent constants; per-ray work is otherwise independent and
+    the grads must agree up to fp32 summation order
+    (avr_tpu/training/step.py ray_chunks)."""
+    import jax.numpy as jnp
+    from avr_tpu.training import make_train_step
+
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), dtype=jnp.float32, **kw: jnp.full(shape, 0.43, dtype),
+    )
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32, **kw: jnp.zeros(shape, dtype),
+    )
+
+    model = _make_model(VolumeRendererConfig(n_coarse=6, n_fine=4, n_fine_depth=2))
+    tx = optax.adam(5e-4)
+    state0 = _init_state(model, tx)
+
+    rng = np.random.default_rng(5)
+    SB, R, side = 2, 16, 32
+    images = jnp.asarray(rng.normal(size=(SB, 1, side, side, 3)).astype(np.float32))
+    c2w = np.eye(4, dtype=np.float32) @ np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    c2w[2, 3] = 1.3
+    poses = jnp.asarray(np.broadcast_to(c2w, (SB, 1, 4, 4)).copy())
+    focal = jnp.float32(35.0)
+    c = jnp.asarray([16.0, 16.0])
+    model_input = {
+        "x_pix": jnp.asarray(rng.uniform(0.1, 0.9, (SB, R, 2)).astype(np.float32)),
+        "intrinsics": jnp.broadcast_to(
+            jnp.asarray([[1.09, 0, 0.5], [0, 1.09, 0.5], [0, 0, 1]], jnp.float32),
+            (SB, 3, 3),
+        ),
+        "cam2world": jnp.broadcast_to(jnp.asarray(c2w), (SB, R, 4, 4)),
+    }
+    gt = jnp.asarray(rng.uniform(size=(SB, R, 3)).astype(np.float32))
+    args = (images, poses, focal, c, model_input, gt, jax.random.PRNGKey(7))
+
+    outs = {}
+    for chunks in (1, 4):
+        step = make_train_step(
+            model, tx, LossParams(loss_mode="both"), donate=False,
+            ray_chunks=chunks,
+        )
+        new_state, metrics = step(state0, *args)
+        outs[chunks] = (new_state, metrics)
+
+    l1 = float(outs[1][1]["loss"])
+    l4 = float(outs[4][1]["loss"])
+    np.testing.assert_allclose(l4, l1, rtol=1e-5)
+    leaves1 = jax.tree.leaves(outs[1][0].params)
+    leaves4 = jax.tree.leaves(outs[4][0].params)
+    for a, b in zip(leaves1, leaves4):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_volume_sort_key_is_pure_permutation(monkeypatch):
+    """render_volume with a point-level sort_key_fn returns identical
+    outputs: the permutation is applied before the field query and
+    inverted after (renderers/volume.py _query)."""
+    import jax.numpy as jnp
+    from avr_tpu.renderers.volume import render_volume
+    from tests.test_renderers import shell_field, _rays
+
+    xy, K, c2w = _rays(R=16)
+    field = shell_field(1.2, 0.05, 500.0, (0.8, 0.3, 0.1), (0.0, 0.0, 1.3))
+    cfg = VolumeRendererConfig(n_coarse=8, n_fine=4, n_fine_depth=2)
+
+    base = render_volume(cfg, jax.random.PRNGKey(3), field, xy, K, c2w)
+    sorted_out = render_volume(
+        cfg, jax.random.PRNGKey(3), field, xy, K, c2w,
+        sort_key_fn=lambda pts: pts[..., 1] * 7.0 + pts[..., 0],
+    )
+    for a, b in zip(base, sorted_out):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
