@@ -403,17 +403,32 @@ def _bwd_stash_impl(x_ref, z_ref, code_refs, g_ref, stash_refs,
                     dx_ref, dz_ref, dwi_ref, dbi_ref, dwz_ref, dbz_ref,
                     dw0_ref, db0_ref, dw1_ref, db1_ref, dwo_ref, dbo_ref, *,
                     n_blocks, n_lin_z, ns, compute_dtype, sin_lo, sin_hi,
-                    epilogue):
+                    epilogue, halves=1):
     """Backward consuming the forward's activation stash: no recompute
     matmuls — only the dgrad/wgrad chains (2/3 of the recompute
     algorithm's MXU work).  Needs only the transposed weight copies (the
-    dgrad operands) plus wo/bo for the epilogue chain."""
+    dgrad operands) plus wo/bo for the epilogue chain.
+
+    ``halves > 1`` splits the block's rows into that many chunks and emits
+    every matmul site once per chunk, adjacent in program order: the
+    chunks' dgrad chains are mutually independent, so chunk B's matmul can
+    occupy the MXU during the pipeline drain between chunk A's dependent
+    matmuls (round-2 lever 4: bwd 28.4 ms vs a 22.6 ms roofline, the gap
+    attributed to drains between the 26 dependent matmuls)."""
     cd = compute_dtype
     i = pl.program_id(0)
+    H = halves
 
     pre = stash_refs[: 2 * n_lin_z]       # (ns, blk, d) per pre-pool block
     post = stash_refs[2 * n_lin_z : -1]   # (blk, d) per post-pool block
-    aout = stash_refs[-1][...]            # (blk, d) relu(h_final)
+
+    def rows(a):  # row-chunks of a (blk, d) array (blk % (8 * H) == 0)
+        if H == 1:
+            return [a]
+        hb = a.shape[0] // H
+        return [a[h * hb : (h + 1) * hb] for h in range(H)]
+
+    aouts = rows(stash_refs[-1][...])     # (blk, d) relu(h_final)
 
     @pl.when(i == 0)
     def _init():
@@ -435,74 +450,129 @@ def _bwd_stash_impl(x_ref, z_ref, code_refs, g_ref, stash_refs,
             preferred_element_type=jnp.float32,
         )
 
-    def bwd_block(gh, k, a1, a2):
-        ghc = gh.astype(cd)
-        dw1_ref[k] += contract_t(a2, gh)
-        db1_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
-        gnet = jnp.dot(ghc, w1T_ref[k], preferred_element_type=jnp.float32)
-        gnet = jnp.where(a2.astype(jnp.float32) > 0.0, gnet, 0.0)
-        dw0_ref[k] += contract_t(a1, gnet)
-        db0_ref[k : k + 1, :] += jnp.sum(gnet, axis=0, keepdims=True)
-        return gh + jnp.where(
-            a1.astype(jnp.float32) > 0.0,
-            jnp.dot(gnet.astype(cd), w0T_ref[k],
-                    preferred_element_type=jnp.float32),
-            0.0,
-        )
+    def acc(parts):
+        s = parts[0]
+        for p in parts[1:]:
+            s = s + p
+        return s
 
-    g = g_ref[...].astype(jnp.float32)
+    def bwd_block(ghs, k, a1_full, a2_full):
+        a1s, a2s = rows(a1_full), rows(a2_full)
+        ghcs = [gh.astype(cd) for gh in ghs]
+        dw1_ref[k] += acc([contract_t(a2s[h], ghs[h]) for h in range(H)])
+        db1_ref[k : k + 1, :] += acc(
+            [jnp.sum(ghs[h], axis=0, keepdims=True) for h in range(H)]
+        )
+        gnets = [
+            jnp.dot(ghcs[h], w1T_ref[k], preferred_element_type=jnp.float32)
+            for h in range(H)
+        ]
+        gnets = [
+            jnp.where(a2s[h].astype(jnp.float32) > 0.0, gnets[h], 0.0)
+            for h in range(H)
+        ]
+        dw0_ref[k] += acc([contract_t(a1s[h], gnets[h]) for h in range(H)])
+        db0_ref[k : k + 1, :] += acc(
+            [jnp.sum(gnets[h], axis=0, keepdims=True) for h in range(H)]
+        )
+        return [
+            ghs[h]
+            + jnp.where(
+                a1s[h].astype(jnp.float32) > 0.0,
+                jnp.dot(gnets[h].astype(cd), w0T_ref[k],
+                        preferred_element_type=jnp.float32),
+                0.0,
+            )
+            for h in range(H)
+        ]
+
+    gs = rows(g_ref[...].astype(jnp.float32))
     if epilogue:
-        out_pre = jnp.dot(aout, wo_ref[...], preferred_element_type=jnp.float32)
-        out_pre = out_pre + bo_ref[...].astype(jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, out_pre.shape, 1)
-        s = jax.nn.sigmoid(out_pre)
-        g = jnp.where(
-            col < 3, g * s * (1.0 - s), jnp.where(out_pre > 0.0, g, 0.0)
-        )
+        outs_pre = [
+            jnp.dot(aouts[h], wo_ref[...], preferred_element_type=jnp.float32)
+            + bo_ref[...].astype(jnp.float32)
+            for h in range(H)
+        ]
+        def _epi(g, out_pre):
+            col = jax.lax.broadcasted_iota(jnp.int32, out_pre.shape, 1)
+            s = jax.nn.sigmoid(out_pre)
+            return jnp.where(
+                col < 3, g * s * (1.0 - s), jnp.where(out_pre > 0.0, g, 0.0)
+            )
+        gs = [_epi(gs[h], outs_pre[h]) for h in range(H)]
 
-    dwo_ref[...] += contract_t(aout, g)
-    dbo_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-    gh = jnp.dot(g.astype(cd), woT_ref[...], preferred_element_type=jnp.float32)
+    dwo_ref[...] += acc([contract_t(aouts[h], gs[h]) for h in range(H)])
+    dbo_ref[...] += acc(
+        [jnp.sum(gs[h], axis=0, keepdims=True) for h in range(H)]
+    )
+    ghs = [
+        jnp.dot(gs[h].astype(cd), woT_ref[...],
+                preferred_element_type=jnp.float32)
+        for h in range(H)
+    ]
     # relu(h_final) mask recovered from the stashed activation
-    gh = jnp.where(aout.astype(jnp.float32) > 0.0, gh, 0.0)
+    ghs = [
+        jnp.where(aouts[h].astype(jnp.float32) > 0.0, ghs[h], 0.0)
+        for h in range(H)
+    ]
 
     for k in range(n_blocks - 1, n_lin_z - 1, -1):
         j = 2 * (k - n_lin_z)
-        gh = bwd_block(gh, k, post[j][...], post[j + 1][...])
+        ghs = bwd_block(ghs, k, post[j][...], post[j + 1][...])
 
-    gh_pool = gh if ns == 1 else gh * (1.0 / ns)
+    ghs_pool = ghs if ns == 1 else [gh * (1.0 / ns) for gh in ghs]
     for v in range(ns):
-        gh = gh_pool
-        z = z_ref[v].astype(cd)
-        dz = jnp.zeros(z.shape, jnp.float32)
+        ghs = ghs_pool
+        zs = rows(z_ref[v].astype(cd))
+        dzs = [jnp.zeros(zs[h].shape, jnp.float32) for h in range(H)]
         for k in range(n_lin_z - 1, -1, -1):
-            gh = bwd_block(gh, k, pre[2 * k][v], pre[2 * k + 1][v])
-            dwz_ref[k] += contract_t(z, gh)
-            dbz_ref[k : k + 1, :] += jnp.sum(gh, axis=0, keepdims=True)
-            dz = dz + jnp.dot(gh.astype(cd), wzT_ref[k],
-                              preferred_element_type=jnp.float32)
+            ghs = bwd_block(ghs, k, pre[2 * k][v], pre[2 * k + 1][v])
+            dwz_ref[k] += acc(
+                [contract_t(zs[h], ghs[h]) for h in range(H)]
+            )
+            dbz_ref[k : k + 1, :] += acc(
+                [jnp.sum(ghs[h], axis=0, keepdims=True) for h in range(H)]
+            )
+            dzs = [
+                dzs[h] + jnp.dot(ghs[h].astype(cd), wzT_ref[k],
+                                 preferred_element_type=jnp.float32)
+                for h in range(H)
+            ]
 
         # the encoded input is cheap to recompute (one tiny one-hot select)
-        p = x_ref[v][...].astype(jnp.float32)
+        ps = rows(x_ref[v][...].astype(jnp.float32))
         if code_refs is not None:
-            enc, t = _encode(p, code_refs[:3], sin_lo, sin_hi)
+            encts = [_encode(ps[h], code_refs[:3], sin_lo, sin_hi)
+                     for h in range(H)]
         else:
-            enc, t = p, None
-        dwi_ref[...] += contract_t(enc.astype(cd), gh)
-        dbi_ref[...] += jnp.sum(gh, axis=0, keepdims=True)
-        genc = jnp.dot(gh.astype(cd), wiT_ref[...],
-                       preferred_element_type=jnp.float32)
+            encts = [(ps[h], None) for h in range(H)]
+        dwi_ref[...] += acc(
+            [contract_t(encts[h][0].astype(cd), ghs[h]) for h in range(H)],
+        )
+        dbi_ref[...] += acc(
+            [jnp.sum(ghs[h], axis=0, keepdims=True) for h in range(H)]
+        )
+        gencs = [
+            jnp.dot(ghs[h].astype(cd), wiT_ref[...],
+                    preferred_element_type=jnp.float32)
+            for h in range(H)
+        ]
         if code_refs is not None:
             _, _, _, s0T_ref = code_refs
-            col = jax.lax.broadcasted_iota(jnp.int32, genc.shape, 1)
             f_row = code_refs[1][...]
-            dt = genc * jnp.where(
-                (col >= sin_lo) & (col < sin_hi), jnp.cos(t) * f_row, 1.0
-            )
-            genc = jnp.dot(dt, s0T_ref[...], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        dx_ref[v] = genc.astype(dx_ref.dtype)
-        dz_ref[v] = dz.astype(dz_ref.dtype)
+
+            def _dec(genc, t):
+                col = jax.lax.broadcasted_iota(jnp.int32, genc.shape, 1)
+                dt = genc * jnp.where(
+                    (col >= sin_lo) & (col < sin_hi), jnp.cos(t) * f_row, 1.0
+                )
+                return jnp.dot(dt, s0T_ref[...],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+            gencs = [_dec(gencs[h], encts[h][1]) for h in range(H)]
+        dx_ref[v] = jnp.concatenate(gencs, axis=0).astype(dx_ref.dtype)
+        dz_ref[v] = jnp.concatenate(dzs, axis=0).astype(dz_ref.dtype)
 
 
 def _bwd_stash_plain(x_ref, z_ref, g_ref, *rest, n_stash=0, **kw):
@@ -532,7 +602,7 @@ _blocked = lambda i: (0, i, 0)
 def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
                 d_latent: int, d_hidden: int, d_out: int, compute_dtype,
                 interpret: bool, code=None, epilogue: bool = False,
-                stash: bool = False):
+                stash: bool = False, halves: int = 1):
     """Build (and cache) the custom-VJP fused decoder for one static config.
 
     ``d_in`` is the width of the ``x`` operand as passed by the caller: the
@@ -751,7 +821,7 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
             outs = pl.pallas_call(
                 functools.partial(
                     _bwd_stash_coded if code is not None else _bwd_stash_plain,
-                    n_stash=n_stash, **kw),
+                    n_stash=n_stash, halves=halves, **kw),
                 grid=(n_pad // blk_bwd,),
                 in_specs=[
                     pl.BlockSpec((ns, blk_bwd, d_in), _blocked,
@@ -874,9 +944,16 @@ def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
             2 * n_lin_z * ns + 2 * (n_blocks - n_lin_z) + 1
         )
         stash = x.shape[1] * per_point <= _STASH_BUDGET_BYTES
+    # AVR_BWD_INTERLEAVE=2 splits the stash backward's rows into two
+    # chunks whose independent dgrad chains interleave on the MXU
+    # (round-2 lever 4); 1 = the plain chain.  Read per call — the
+    # factory cache keys on it.
+    import os as _os
+
+    halves = int(_os.environ.get("AVR_BWD_INTERLEAVE", "1")) if stash else 1
     fn = _make_fused(
         n_blocks, n_lin_z, ns, x.shape[-1], z.shape[-1], wi.shape[-1],
         wo.shape[-1], jnp.dtype(compute_dtype).type, interpret,
-        code, activate_out, stash,
+        code, activate_out, stash, halves,
     )
     return fn(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)

@@ -299,3 +299,42 @@ def test_stash_matches_recompute(NS, coded):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_st)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("NS,coded", [(1, True), (2, True)])
+def test_stash_backward_interleave_matches(NS, coded, monkeypatch):
+    """AVR_BWD_INTERLEAVE=2 (half-block interleaved dgrad chains in the
+    stash backward) produces the same gradients as the plain chain — the
+    split only reassociates the wgrad/row-sum accumulations."""
+    rng = np.random.default_rng(17 + NS)
+    cs = _SPEC if coded else None
+    d_in = _SPEC.d_enc if coded else D_IN
+    d_raw = _SPEC.d_raw if coded else D_IN
+    p = jnp.asarray(rng.normal(size=(2, NS, 37, d_raw)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(2, NS, 37, D_LATENT)).astype(np.float32))
+
+    def mk():
+        return ResnetFC(d_in=d_in, d_out=4, n_blocks=N_BLOCKS,
+                        d_latent=D_LATENT, d_hidden=D_HIDDEN,
+                        combine_layer=COMBINE, fused="always_stash",
+                        code_spec=cs, activate_out=coded)
+
+    v = mk().init(jax.random.PRNGKey(0), p, z)
+    v = jax.tree.map(
+        lambda a: a + 0.01 * jnp.asarray(rng.normal(size=a.shape), a.dtype), v
+    )
+
+    def loss(v_, p_, z_):
+        return jnp.sum(jnp.sin(3.0 * mk().apply(v_, p_, z_)))
+
+    from avr_tpu.ops.pallas import resnetfc as mod
+
+    grads = {}
+    for h in ("1", "2"):
+        monkeypatch.setenv("AVR_BWD_INTERLEAVE", h)
+        mod._make_fused.cache_clear()
+        grads[h] = jax.grad(loss, argnums=(0, 1, 2))(v, p, z)
+    mod._make_fused.cache_clear()
+    for a, b in zip(jax.tree.leaves(grads["1"]), jax.tree.leaves(grads["2"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4)
