@@ -602,7 +602,7 @@ _blocked = lambda i: (0, i, 0)
 def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
                 d_latent: int, d_hidden: int, d_out: int, compute_dtype,
                 interpret: bool, code=None, epilogue: bool = False,
-                stash: bool = False, halves: int = 1):
+                stash: bool = False, halves: int = 1, stash_blk: int = 0):
     """Build (and cache) the custom-VJP fused decoder for one static config.
 
     ``d_in`` is the width of the ``x`` operand as passed by the caller: the
@@ -627,8 +627,10 @@ def _make_fused(n_blocks: int, n_lin_z: int, ns: int, d_in: int,
     if stash:
         # one shared block size: the stash arrays are laid out at the
         # forward's padding, and the double-buffered stash blocks dominate
-        # VMEM on both sides
-        blk_fwd = blk_bwd = max((2048 if n_lin_z < 4 else 1024) // ns, 512)
+        # VMEM on both sides.  ``stash_blk`` (AVR_STASH_BLK) overrides for
+        # DMA-granularity A/Bs (the bwd roofline gap tracks stash reads).
+        _blk = stash_blk or (2048 if n_lin_z < 4 else 1024)
+        blk_fwd = blk_bwd = max(_blk // ns, 512)
     d_enc = code.d_enc if code is not None else d_in
     n_stash = 2 * n_blocks + 1
 
@@ -951,9 +953,10 @@ def fused_resnetfc(x, z, params, *, n_blocks: int, n_lin_z: int,
     import os as _os
 
     halves = int(_os.environ.get("AVR_BWD_INTERLEAVE", "1")) if stash else 1
+    stash_blk = int(_os.environ.get("AVR_STASH_BLK", "0")) if stash else 0
     fn = _make_fused(
         n_blocks, n_lin_z, ns, x.shape[-1], z.shape[-1], wi.shape[-1],
         wo.shape[-1], jnp.dtype(compute_dtype).type, interpret,
-        code, activate_out, stash, halves,
+        code, activate_out, stash, halves, stash_blk,
     )
     return fn(x, z, wi, bi, wz, bz, w0, b0, w1, b1, wo, bo)
