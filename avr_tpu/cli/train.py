@@ -125,7 +125,8 @@ def main(argv=None):
     from avr_tpu.models.wrapper import RadFieldRenderer
     from avr_tpu.renderers.base import renderer_config_from_conf
     from avr_tpu.training import (
-        FitConfig, LossParams, create_train_state, fit, restore_checkpoint,
+        FitConfig, LossParams, create_train_state, fit, make_optimizer,
+        restore_checkpoint,
     )
     from avr_tpu.utils.logging import MetricsLogger
     from avr_tpu.utils.viz import plot_losses
@@ -190,7 +191,7 @@ def main(argv=None):
         jnp.float32(1.09375 * opt.sl), jnp.asarray([opt.sl / 2.0, opt.sl / 2.0]),
         method=model.init_all,
     )
-    tx = optax.adam(opt.lr)
+    tx = make_optimizer(opt.lr)  # Adam + non-finite-update skip
     state = create_train_state(variables, tx)
     if opt.starting_epoch > 0:
         state = restore_checkpoint(

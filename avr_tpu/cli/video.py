@@ -44,7 +44,9 @@ def main(argv=None):
     from avr_tpu.models.pixelnerf import ModelConfig
     from avr_tpu.models.wrapper import RadFieldRenderer
     from avr_tpu.renderers.base import renderer_config_from_conf
-    from avr_tpu.training import LossParams, create_train_state, restore_checkpoint
+    from avr_tpu.training import (
+        LossParams, create_train_state, make_optimizer, restore_checkpoint,
+    )
 
     conf_path = opt.conf or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -71,7 +73,7 @@ def main(argv=None):
         jax.random.PRNGKey(0), images0, poses0, jnp.float32(1.09375 * opt.sl),
         jnp.asarray([opt.sl / 2.0, opt.sl / 2.0]), method=model.init_all,
     )
-    state = create_train_state(variables, optax.adam(1e-4))
+    state = create_train_state(variables, make_optimizer(1e-4))
     state = restore_checkpoint(opt.root_dir, opt.renderer, opt.epoch, state, strict=True)
 
     frames = generate_video(model, state, batch, opt.num_frames, opt.radius)

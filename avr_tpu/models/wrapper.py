@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from avr_tpu.models.pixelnerf import Conditioning, ModelConfig, PixelNeRFNet
+from avr_tpu.ops.permute import permutation_take
 from avr_tpu.renderers.adaptive import render_adaptive
 from avr_tpu.renderers.base import (
     AdaptiveRendererConfig,
@@ -248,10 +249,11 @@ class RadFieldRenderer(nn.Module):
             )
             order = jnp.argsort(key_row, axis=-1)
             inv = jnp.argsort(order, axis=-1)
-            take = lambda a, o: jnp.take_along_axis(a, o[..., None], axis=1)
+            # scatter-free permutation (VJP is a gather by the other index)
+            take = permutation_take
 
             coords = fused_lstm_march(
-                proj, take(coords0, order), take(rds, order), latent,
+                proj, take(coords0, order, inv), take(rds, order, inv), latent,
                 lstm_params["w_ih"], lstm_params["w_hh"],
                 lstm_params["b_ih"] + lstm_params["b_hh"],
                 out_params["kernel"], out_params["bias"],
@@ -259,7 +261,7 @@ class RadFieldRenderer(nn.Module):
                 early_stop_eps=getattr(cfg, "early_stop_eps", 0.0),
                 compute_dtype=compute_dtype, interpret=backend == "cpu",
             )
-            return take(coords, inv)
+            return take(coords, inv, order)
 
         return march_fn
 

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from avr_tpu.ops.integrate import volume_integral
+from avr_tpu.ops.permute import permutation_take
 from avr_tpu.ops.sampling import sample_coarse
 from avr_tpu.renderers.base import AdaptiveRendererConfig, RenderOutput
 from avr_tpu.renderers.raymarch import lstm_march
@@ -91,10 +92,11 @@ def render_adaptive(
     if sort_key_fn is not None:
         order = jnp.argsort(sort_key_fn(coords), axis=-1)  # (SB, R)
         inv = jnp.argsort(order, axis=-1)
-        take = lambda a, o: jnp.take_along_axis(
-            a, o[..., *([None] * (a.ndim - 2))], axis=1
-        )
-        ros_q, rds_q, z_q = take(ros, order), take(rds, order), take(z_sorted, order)
+        # scatter-free: the VJP of each take is a gather by the other index
+        take = lambda a, o, i: permutation_take(a, o, i)
+        ros_q = take(ros, order, inv)
+        rds_q = take(rds, order, inv)
+        z_q = take(z_sorted, order, inv)
     else:
         ros_q, rds_q, z_q = ros, rds, z_sorted
 
@@ -125,8 +127,8 @@ def render_adaptive(
         )
 
     if sort_key_fn is not None:
-        rgb = take(rgb, inv)
-        distance = take(distance, inv)
+        rgb = take(rgb, inv, order)
+        distance = take(distance, inv, order)
         world = ros + rds * distance
     else:
         world = ros + rds * distance

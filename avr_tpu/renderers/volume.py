@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from avr_tpu.ops.integrate import volume_integral
+from avr_tpu.ops.permute import permutation_take
 from avr_tpu.ops.sampling import sample_coarse, sample_depth, sample_fine
 from avr_tpu.renderers.base import RenderOutput, VolumeRendererConfig
 from avr_tpu.utils.geometry import depth_from_world, get_world_rays
@@ -56,8 +57,16 @@ def _query(field: FieldFn, ros, rds, z_vals, coarse: bool, sort_key=None):
     else:
         order = jnp.argsort(sort_key(pts), axis=-1)  # (SB, N)
         inv = jnp.argsort(order, axis=-1)
-        take = lambda a, o: jnp.take_along_axis(a, o[..., None], axis=1)
-        out = take(field(take(pts, order), take(vd, order), coarse), inv)
+        # scatter-free permutation: both directions are gathers (the VJP of
+        # a take_along_axis here would be a 1.6 M-row scatter-add)
+        out = permutation_take(
+            field(
+                permutation_take(pts, order, inv),
+                permutation_take(vd, order, inv),
+                coarse,
+            ),
+            inv, order,
+        )
     out = out.reshape(SB, R, n, 4)
     return out[..., 3:4], out[..., :3]
 

@@ -1,5 +1,9 @@
 from avr_tpu.training.loss import loss_fn, LossParams  # noqa: F401
-from avr_tpu.training.state import TrainState, create_train_state  # noqa: F401
+from avr_tpu.training.state import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
 from avr_tpu.training.step import (  # noqa: F401
     make_train_step,
     make_eval_step,

@@ -78,9 +78,21 @@ def restore_checkpoint(
         try:
             restored = ckptr.restore(path, item=template)
         except (ValueError, KeyError):
-            # checkpoint saved without optimizer state
-            template.pop("opt_state")
-            restored = ckptr.restore(path, item=template)
+            # Optimizer-state structure drift (checkpoint saved without opt
+            # state, or with a different optimizer wrapper than the
+            # template's — e.g. plain Adam vs make_optimizer's
+            # apply_if_finite).  Restore raw and adopt only the
+            # optimizer-independent pieces; opt state keeps the template's
+            # fresh init (the reference restarts Adam on resume anyway,
+            # reference train.py:277-278).
+            import warnings
+
+            warnings.warn(
+                f"{path}: optimizer state structure does not match the "
+                "template; restoring params/batch_stats/step only."
+            )
+            restored = ckptr.restore(path)
+            restored.pop("opt_state", None)
     replacements = {}
     for key in ("step", "params", "batch_stats", "opt_state"):
         if key in restored and restored[key] is not None:

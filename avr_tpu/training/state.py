@@ -12,7 +12,30 @@ import jax
 import optax
 from flax import struct
 
-__all__ = ["TrainState", "create_train_state"]
+__all__ = ["TrainState", "create_train_state", "make_optimizer"]
+
+
+def make_optimizer(
+    lr: float = 1e-4, skip_nonfinite: bool = True
+) -> optax.GradientTransformation:
+    """Adam with non-finite-update skipping (the production optimizer).
+
+    The reference's NaN guard (``/root/reference/utils.py:372-373``)
+    rebinds a NaN loss to the float ``1e-6`` — which *detaches* the torch
+    graph, so a NaN batch contributes zero gradient and training sails on.
+    A ``jnp.where`` guard on the loss value cannot reproduce that: the
+    cotangent through the untaken branch is ``0 * NaN = NaN``, so one bad
+    batch (e.g. a transient ``near > far`` ε-band while the marcher is
+    unconverged) poisons the parameters forever.  ``optax.apply_if_finite``
+    is the TPU-native equivalent of the detach: grads are checked for
+    non-finite values inside the fused step and the whole update (params
+    AND Adam moments) is skipped for that batch, exactly like a detached
+    backward.  ``total_notfinite`` is surfaced in the train metrics.
+    """
+    tx = optax.adam(lr)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=1000)
+    return tx
 
 
 class TrainState(struct.PyTreeNode):

@@ -162,6 +162,10 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
+        # apply_if_finite (make_optimizer): count of skipped (non-finite)
+        # updates — the TPU-native version of the reference's NaN detach
+        if hasattr(new_opt_state, "total_notfinite"):
+            metrics["notfinite"] = new_opt_state.total_notfinite
         return new_state, metrics
 
     del has_bn

@@ -119,7 +119,9 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), images, poses, focal, c, method=model.init_all
     )
-    tx = optax.adam(1e-4)
+    # production optimizer: Adam + non-finite-update skip (make_optimizer)
+    from avr_tpu.training import make_optimizer
+    tx = make_optimizer(1e-4)
     state = create_train_state(variables, tx)
     step = make_train_step(
         model, tx, LossParams(loss_mode=loss_mode),

@@ -95,7 +95,9 @@ def main(argv=None):
             jax.random.PRNGKey(0), images, poses, focal, cc,
             method=model.init_all,
         )
-        tx = optax.adam(1e-4)
+        from avr_tpu.training import make_optimizer
+
+        tx = make_optimizer(1e-4)  # production optimizer (matches bench.py)
         template = create_train_state(variables, tx)
         state = restore_checkpoint(opt.workdir, opt.renderer, opt.epoch, template)
 
