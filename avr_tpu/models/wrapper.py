@@ -163,6 +163,8 @@ class RadFieldRenderer(nn.Module):
         gather's fast path.  Only worth it when the Pallas gather runs."""
         import jax as _jax
 
+        import os as _os
+
         impl = self.model_cfg.gather_impl
         if impl == "auto":
             impl = (
@@ -170,7 +172,14 @@ class RadFieldRenderer(nn.Module):
                 if _jax.default_backend() not in ("cpu", "gpu")
                 else "xla"
             )
-        if impl != "pallas" or self.is_initializing():
+        # AVR_SORT=0 disables the locality sort independently of the gather
+        # impl (A/B knob: previously only BENCH_GATHER=xla could turn the
+        # sort off, conflating the two effects)
+        if (
+            impl != "pallas"
+            or self.is_initializing()
+            or _os.environ.get("AVR_SORT", "1") == "0"
+        ):
             return None
 
         from avr_tpu.ops.pallas.march import pack_projection
