@@ -6,6 +6,7 @@ from avr_tpu.training.state import (  # noqa: F401
 )
 from avr_tpu.training.step import (  # noqa: F401
     make_train_step,
+    make_chunked_call_train_step,
     make_eval_step,
     make_encode_fn,
     make_render_fn,

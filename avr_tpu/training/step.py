@@ -25,7 +25,13 @@ import optax
 from avr_tpu.training.loss import LossParams, loss_fn
 from avr_tpu.training.state import TrainState
 
-__all__ = ["make_train_step", "make_eval_step", "make_encode_fn", "make_render_fn"]
+__all__ = [
+    "make_train_step",
+    "make_chunked_call_train_step",
+    "make_eval_step",
+    "make_encode_fn",
+    "make_render_fn",
+]
 
 
 def make_train_step(
@@ -170,6 +176,140 @@ def make_train_step(
 
     del has_bn
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_chunked_call_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_params: LossParams,
+    ray_chunks: int,
+) -> Callable:
+    """The ``ray_chunks`` update as N+2 *small* jitted programs.
+
+    Same math as ``make_train_step(..., ray_chunks=N)`` (encode once,
+    render/backward per chunk, conditioning cotangent pulled back through
+    the encoder once, fp32 grad accumulation — equal up to summation
+    order), but dispatched as separate device calls instead of one
+    scan-of-vjp program:
+
+      1. ``encode``:   params -> conditioning (train-mode BatchNorm),
+      2. ``chunk`` xN: render + backward of R/N rays, accumulators donated
+         so each chunk's residuals (the fused decoder's ~11 KB/point
+         activation stash) die with its call,
+      3. ``finish``:   encoder pullback (cheap encode recompute under
+         ``jax.vjp`` at the same params/stats -> identical linearization)
+         + optimizer update.
+
+    Exists because the monolithic scan program with Pallas kernels inside
+    stalled >25 min in compilation through the TPU relay (PERF.md round
+    3) while each of these pieces compiles in normal time.  The chunk
+    program's peak memory is the point of the whole exercise: it bounds
+    the stash at (points/N), which puts the classic VolumeRenderer's
+    1.6 M fine points back inside the stash backward's HBM budget.
+    """
+    C = ray_chunks
+
+    @jax.jit
+    def encode_j(params, batch_stats, src_images, src_poses, focal, c):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        if mutable:
+            cond, new_model_state = model.apply(
+                variables, src_images, src_poses, focal, c, train=True,
+                method=model.encode, mutable=mutable,
+            )
+        else:
+            cond = model.apply(
+                variables, src_images, src_poses, focal, c, train=True,
+                method=model.encode,
+            )
+            new_model_state = {}
+        return cond, new_model_state
+
+    def chunk_loss(params, batch_stats, cond, x_pix, intr, c2w, gt_k, k):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(
+            variables, cond, x_pix, intr, c2w, k, train=True,
+            method=model.render,
+        )
+        return loss_fn(out, gt_k, loss_params)
+
+    @partial(jax.jit, donate_argnums=(8, 9, 10))
+    def chunk_j(params, batch_stats, cond, x_pix, intr, c2w, gt_k, k,
+                gp, gc, lacc):
+        l, (dgp, dgc) = jax.value_and_grad(chunk_loss, argnums=(0, 2))(
+            params, batch_stats, cond, x_pix, intr, c2w, gt_k, k
+        )
+        gp = jax.tree.map(jnp.add, gp, dgp)
+        gc = jax.tree.map(jnp.add, gc, dgc)
+        return gp, gc, lacc + l
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def finish_j(state, src_images, src_poses, focal, c, gp, gc, lsum,
+                 new_model_state):
+        def enc(params):
+            cond, _ = encode_j.__wrapped__(
+                params, state.batch_stats, src_images, src_poses, focal, c
+            )
+            return cond
+
+        scale = 1.0 / C
+        gc = jax.tree.map(lambda t: t * scale, gc)
+        _, enc_vjp = jax.vjp(enc, state.params)
+        gp_enc = enc_vjp(gc)[0]
+        grads = jax.tree.map(lambda a, b: a * scale + b, gp, gp_enc)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+        )
+        metrics = {"loss": lsum / C, "grad_norm": optax.global_norm(grads)}
+        if hasattr(new_opt_state, "total_notfinite"):
+            metrics["notfinite"] = new_opt_state.total_notfinite
+        return new_state, metrics
+
+    def step(state: TrainState, src_images, src_poses, focal, c,
+             model_input, gt, key):
+        R = gt.shape[1]
+        if R % C:
+            raise ValueError(f"ray batch {R} not divisible by ray_chunks {C}")
+        cond, new_model_state = encode_j(
+            state.params, state.batch_stats, src_images, src_poses, focal, c
+        )
+        intr = model_input["intrinsics"]
+
+        def chunk(a, i):  # (SB, R, ...) -> (SB, R/C, ...), chunk i
+            SB = a.shape[0]
+            return a.reshape(SB, C, R // C, *a.shape[2:])[:, i]
+
+        keys = jax.random.split(key, C)
+        gp = jax.tree.map(jnp.zeros_like, state.params)
+        gc = jax.tree.map(jnp.zeros_like, cond)
+        lacc = jnp.float32(0.0)
+        for i in range(C):
+            gp, gc, lacc = chunk_j(
+                state.params, state.batch_stats, cond,
+                chunk(model_input["x_pix"], i),
+                intr,
+                chunk(model_input["cam2world"], i),
+                chunk(gt, i),
+                keys[i],
+                gp, gc, lacc,
+            )
+        return finish_j(
+            state, src_images, src_poses, focal, c, gp, gc, lacc,
+            new_model_state,
+        )
+
+    return step
 
 
 def make_encode_fn(model) -> Callable:

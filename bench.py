@@ -123,10 +123,23 @@ def main():
     from avr_tpu.training import make_optimizer
     tx = make_optimizer(1e-4)
     state = create_train_state(variables, tx)
-    step = make_train_step(
-        model, tx, LossParams(loss_mode=loss_mode),
-        ray_chunks=int(os.environ.get("BENCH_RAY_CHUNKS", "1")),
-    )
+    # BENCH_RAY_CHUNKS=N: gradient accumulation over N sequential ray
+    # chunks.  BENCH_STEP=calls uses the N+2-dispatch variant
+    # (make_chunked_call_train_step) whose small programs sidestep the
+    # monolithic scan program's pathological Mosaic compile through the
+    # relay and bound the stash at points/N (VR's route into the stash
+    # backward).
+    chunks = int(os.environ.get("BENCH_RAY_CHUNKS", "1"))
+    if os.environ.get("BENCH_STEP", "fused") == "calls":
+        from avr_tpu.training import make_chunked_call_train_step
+
+        step = make_chunked_call_train_step(
+            model, tx, LossParams(loss_mode=loss_mode), ray_chunks=chunks
+        )
+    else:
+        step = make_train_step(
+            model, tx, LossParams(loss_mode=loss_mode), ray_chunks=chunks
+        )
 
     key = jax.random.PRNGKey(0)
     for i in range(WARMUP):

@@ -278,3 +278,67 @@ def test_nonfinite_batch_skips_update_and_training_survives():
     assert all(
         np.isfinite(np.asarray(p)).all() for p in jax.tree.leaves(state2.params)
     )
+
+
+def test_chunked_call_step_matches_monolithic(monkeypatch):
+    """The N+2-dispatch chunked step (make_chunked_call_train_step) equals
+    the monolithic ray_chunks scan step up to fp32 summation order (same
+    per-chunk RNG streams, same accumulate-then-pullback math)."""
+    import jax.numpy as jnp
+    from avr_tpu.training import make_chunked_call_train_step, make_train_step
+
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), dtype=jnp.float32, **kw: jnp.full(shape, 0.43, dtype),
+    )
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32, **kw: jnp.zeros(shape, dtype),
+    )
+
+    model = _make_model(VolumeRendererConfig(n_coarse=6, n_fine=4, n_fine_depth=2))
+    tx = optax.adam(5e-4)
+    state0 = _init_state(model, tx)
+    # sigma alive (see test_nonfinite_batch_skips_update...): dead relu at
+    # init makes every grad exactly zero and the comparison vacuous
+    params = jax.tree.map(lambda x: x, state0.params)
+    for head in ("mlp_coarse", "mlp_fine"):
+        lin = params["net"][head]["lin_out"]
+        lin["kernel"] = jnp.zeros_like(lin["kernel"])
+        lin["bias"] = jnp.asarray([0.0, 0.0, 0.0, 1.0], lin["bias"].dtype)
+    state0 = state0.replace(params=params)
+
+    rng = np.random.default_rng(5)
+    SB, R, side = 2, 16, 32
+    images = jnp.asarray(rng.normal(size=(SB, 1, side, side, 3)).astype(np.float32))
+    c2w = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    c2w[2, 3] = 1.3
+    poses = jnp.asarray(np.broadcast_to(c2w, (SB, 1, 4, 4)).copy())
+    model_input = {
+        "x_pix": jnp.asarray(rng.uniform(0.1, 0.9, (SB, R, 2)).astype(np.float32)),
+        "intrinsics": jnp.broadcast_to(
+            jnp.asarray([[1.09, 0, 0.5], [0, 1.09, 0.5], [0, 0, 1]], jnp.float32),
+            (SB, 3, 3),
+        ),
+        "cam2world": jnp.broadcast_to(jnp.asarray(c2w), (SB, R, 4, 4)),
+    }
+    gt = jnp.asarray(rng.uniform(size=(SB, R, 3)).astype(np.float32))
+    args = (images, poses, jnp.float32(35.0), jnp.asarray([16.0, 16.0]),
+            model_input, gt, jax.random.PRNGKey(7))
+
+    scan_step = make_train_step(
+        model, tx, LossParams(loss_mode="both"), donate=False, ray_chunks=4
+    )
+    call_step = make_chunked_call_train_step(
+        model, tx, LossParams(loss_mode="both"), ray_chunks=4
+    )
+    s_scan, m_scan = scan_step(state0, *args)
+    s_call, m_call = call_step(state0, *args)
+
+    np.testing.assert_allclose(
+        float(m_call["loss"]), float(m_scan["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_scan.params), jax.tree.leaves(s_call.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5
+        )
