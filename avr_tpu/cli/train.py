@@ -34,6 +34,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Epoch to resume from (0 = fresh)")
     p.add_argument("--sl", type=int, default=128, help="Image sidelength")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="constant (reference parity) or warmup+cosine decay")
+    p.add_argument("--sigma_bias_init", type=float, default=0.0,
+                   help="added to the decoders' raw-density output bias at "
+                        "init; a small positive value (e.g. 0.5) starts the "
+                        "field 'foggy' so training carves out free space "
+                        "instead of dying in the all-background relu-dead "
+                        "regime (grad_norm == 0 exactly). 0 = reference "
+                        "parity.")
     p.add_argument("--max_num_instances", type=int, default=-1)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=50)
@@ -191,7 +201,23 @@ def main(argv=None):
         jnp.float32(1.09375 * opt.sl), jnp.asarray([opt.sl / 2.0, opt.sl / 2.0]),
         method=model.init_all,
     )
-    tx = make_optimizer(opt.lr)  # Adam + non-finite-update skip
+    if opt.sigma_bias_init:
+        # start the density positive (see --sigma_bias_init help); channel 3
+        # of lin_out is the raw sigma (models/mlp.py output convention)
+        for head in ("mlp_coarse", "mlp_fine"):
+            mlp = variables["params"]["net"].get(head)
+            if mlp is not None and "lin_out" in mlp:
+                b = mlp["lin_out"]["bias"]
+                if b.shape[-1] == 4:  # rgb + raw sigma
+                    mlp["lin_out"]["bias"] = b.at[3].add(opt.sigma_bias_init)
+
+    # Adam + non-finite-update skip; optional warmup+cosine decay over the
+    # run's total step budget (constant = reference parity)
+    steps_per_epoch = max(len(train_dset) // max(opt.batch_size, 1), 1)
+    tx = make_optimizer(
+        opt.lr, schedule=opt.lr_schedule,
+        total_steps=opt.epochs * steps_per_epoch,
+    )
     state = create_train_state(variables, tx)
     if opt.starting_epoch > 0:
         state = restore_checkpoint(

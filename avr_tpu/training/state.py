@@ -16,7 +16,11 @@ __all__ = ["TrainState", "create_train_state", "make_optimizer"]
 
 
 def make_optimizer(
-    lr: float = 1e-4, skip_nonfinite: bool = True
+    lr: float = 1e-4,
+    skip_nonfinite: bool = True,
+    schedule: str = "constant",
+    total_steps: Optional[int] = None,
+    warmup_steps: int = 500,
 ) -> optax.GradientTransformation:
     """Adam with non-finite-update skipping (the production optimizer).
 
@@ -31,7 +35,23 @@ def make_optimizer(
     non-finite values inside the fused step and the whole update (params
     AND Adam moments) is skipped for that batch, exactly like a detached
     backward.  ``total_notfinite`` is surfaced in the train metrics.
+
+    ``schedule="cosine"`` (opt-in; constant matches the reference's fixed
+    Adam lr) uses linear warmup + cosine decay to lr/20 over
+    ``total_steps`` — long constant-lr NeRF runs intermittently collapse
+    on late grad spikes (observed: val PSNR 23 -> 13 in the last 500 of
+    10k steps), which decay prevents.
     """
+    if schedule == "cosine":
+        if not total_steps:
+            raise ValueError("schedule='cosine' needs total_steps")
+        warmup = min(warmup_steps, max(total_steps // 10, 1))
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=lr / 10.0, peak_value=lr, warmup_steps=warmup,
+            decay_steps=total_steps, end_value=lr / 20.0,
+        )
+    elif schedule != "constant":
+        raise ValueError(f"unknown lr schedule {schedule!r}")
     tx = optax.adam(lr)
     if skip_nonfinite:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=1000)

@@ -82,6 +82,16 @@ def main(argv=None):
             "--steps_val", str(opt.steps_val),
             "--norm_type", "group",
             "--dtype", "bf16",
+            # warmup+cosine for BOTH arms: constant-lr NeRF runs collapse
+            # intermittently on late grad spikes (PSNR 23 -> 13 in the
+            # last 500 steps of the first 10k-step attempt), and the A/B
+            # evaluates the final checkpoint
+            "--lr_schedule", "cosine",
+            # both arms: positive initial density so the classic VR arm
+            # doesn't die relu-dead (grad_norm == 0 exactly by step ~2k on
+            # this background-dominated synthetic data; AVR escapes via its
+            # marched band but gets the same init for fairness)
+            "--sigma_bias_init", "0.5",
             "--seed", "0",
             "--data", train_h5,
             "--val_data", val_h5,
