@@ -87,11 +87,14 @@ def main(argv=None):
             # last 500 steps of the first 10k-step attempt), and the A/B
             # evaluates the final checkpoint
             "--lr_schedule", "cosine",
-            # both arms: positive initial density so the classic VR arm
-            # doesn't die relu-dead (grad_norm == 0 exactly by step ~2k on
-            # this background-dominated synthetic data; AVR escapes via its
-            # marched band but gets the same init for fairness)
-            "--sigma_bias_init", "0.5",
+            # Per-arm density init, each arm at its trainable best: the
+            # classic VR arm dies relu-dead from the reference init on this
+            # background-dominated data (grad_norm == 0.0 exactly by ~2k
+            # steps), so it starts slightly foggy; the AVR arm trains fine
+            # from the reference init and measurably *worse* foggy (train
+            # loss 0.12 vs 0.05 at matched steps — the fog blurs the
+            # marcher's depth signal), so it keeps the reference init.
+            "--sigma_bias_init", "0.5" if name.startswith("VR") else "0.0",
             "--seed", "0",
             "--data", train_h5,
             "--val_data", val_h5,
