@@ -342,3 +342,25 @@ def test_chunked_call_step_matches_monolithic(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5
         )
+
+
+def test_make_optimizer_schedules():
+    """Cosine needs total_steps; warmup starts at lr/10; decay ends low."""
+    from avr_tpu.training import make_optimizer
+
+    with pytest.raises(ValueError):
+        make_optimizer(1e-4, schedule="cosine")
+    with pytest.raises(ValueError):
+        make_optimizer(1e-4, schedule="nope")
+
+    tx = make_optimizer(1e-3, schedule="cosine", total_steps=100)
+    params = {"w": jnp.zeros(4)}
+    s = tx.init(params)
+    g = {"w": jnp.ones(4)}
+    u0, s = tx.update(g, s, params)
+    # step 0: warmup start = lr/10 (adam update magnitude ~= current lr)
+    np.testing.assert_allclose(float(-u0["w"][0]), 1e-4, rtol=0.1)
+    for _ in range(99):
+        u, s = tx.update(g, s, params)
+    # cosine end: lr/20
+    np.testing.assert_allclose(float(-u["w"][0]), 5e-5, rtol=0.2)
