@@ -119,9 +119,12 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), images, poses, focal, c, method=model.init_all
     )
-    # production optimizer: Adam + non-finite-update skip (make_optimizer)
+    # production optimizer: Adam + non-finite-update skip (make_optimizer);
+    # BENCH_SAFE_OPT=0 reverts to plain Adam for costing the skip machinery
     from avr_tpu.training import make_optimizer
-    tx = make_optimizer(1e-4)
+    tx = make_optimizer(
+        1e-4, skip_nonfinite=os.environ.get("BENCH_SAFE_OPT", "1") != "0"
+    )
     state = create_train_state(variables, tx)
     # BENCH_RAY_CHUNKS=N: gradient accumulation over N sequential ray
     # chunks.  BENCH_STEP=calls uses the N+2-dispatch variant
