@@ -18,7 +18,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root_dir", type=str, required=True)
     p.add_argument("--renderer", type=str, required=True)
-    p.add_argument("--epoch", type=int, required=True)
+    p.add_argument("--epoch", type=str, required=True,
+                   help="checkpoint epoch number, or 'best' for the "
+                        "best-val-PSNR checkpoint fit saves")
     p.add_argument("--loss_mode", type=str, default="both")
     p.add_argument("--data", type=str, required=True, help="Test HDF5")
     p.add_argument("--sl", type=int, default=128)
@@ -27,7 +29,19 @@ def main(argv=None):
     p.add_argument("--conf", type=str, default=None)
     p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--max_instances", type=int, default=None)
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the checkpoint's EMA parameters "
+                        "(runs trained with --ema_decay)")
+    p.add_argument("--eps_scale", type=float, default=1.0,
+                   help="adaptive renderer only: widen the eval-time "
+                        "epsilon-band by this factor (tolerates marcher "
+                        "depth error at eval; 1.0 = training band)")
+    p.add_argument("--band_samples", type=int, default=None,
+                   help="adaptive renderer only: override the band sample "
+                        "count at eval (e.g. scale with --eps_scale to "
+                        "keep sample density)")
     opt = p.parse_args(argv)
+    epoch = int(opt.epoch) if opt.epoch.lstrip("-").isdigit() else opt.epoch
 
     import dataclasses
 
@@ -56,6 +70,16 @@ def main(argv=None):
         encoder=dataclasses.replace(model_cfg.encoder, norm_type=opt.norm_type),
     )
     renderer_cfg = renderer_config_from_conf(conf, opt.renderer, opt.raymarch_steps)
+    from avr_tpu.renderers.base import AdaptiveRendererConfig
+
+    if isinstance(renderer_cfg, AdaptiveRendererConfig) and (
+        opt.eps_scale != 1.0 or opt.band_samples
+    ):
+        renderer_cfg = dataclasses.replace(
+            renderer_cfg,
+            epsilon=renderer_cfg.epsilon * opt.eps_scale,
+            n_coarse=opt.band_samples or renderer_cfg.n_coarse,
+        )
     model = RadFieldRenderer(model_cfg=model_cfg, renderer_cfg=renderer_cfg)
 
     dset = SceneClassDataset(opt.data, img_sidelength=opt.sl, samples_per_instance=2)
@@ -66,12 +90,13 @@ def main(argv=None):
         jax.random.PRNGKey(0), images0, poses0, jnp.float32(1.09375 * opt.sl),
         jnp.asarray([opt.sl / 2.0, opt.sl / 2.0]), method=model.init_all,
     )
-    state = create_train_state(variables, make_optimizer(1e-4))
-    state = restore_checkpoint(opt.root_dir, opt.renderer, opt.epoch, state, strict=True)
+    state = create_train_state(variables, make_optimizer(1e-4), ema=opt.use_ema)
+    state = restore_checkpoint(opt.root_dir, opt.renderer, epoch, state, strict=True)
 
     return test_approximate(
         model, state, dset, LossParams(loss_mode=opt.loss_mode),
         lpips_weights=opt.lpips_weights, max_instances=opt.max_instances,
+        use_ema=opt.use_ema,
     )
 
 

@@ -44,6 +44,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of dying in the all-background relu-dead "
                         "regime (grad_norm == 0 exactly). 0 = reference "
                         "parity.")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="params-EMA decay for validation/eval (0 = off). "
+                        "The adaptive marcher's val quality swings several "
+                        "dB between consecutive evals under raw params; the "
+                        "EMA (e.g. 0.999) is the stabilizer. Saved in "
+                        "checkpoints as ema_params.")
+    p.add_argument("--depth_consistency", type=float, default=0.0,
+                   help="opacity-weighted marcher<-integral depth-"
+                        "consistency loss weight (adaptive renderer only; "
+                        "0 = off = reference parity). Gives the marcher a "
+                        "direct depth gradient when the photometric signal "
+                        "through the band goes flat.")
+    p.add_argument("--no_save_best", action="store_true",
+                   help="disable saving {renderer}_best at every new best "
+                        "val PSNR")
     p.add_argument("--max_num_instances", type=int, default=-1)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=50)
@@ -218,7 +233,7 @@ def main(argv=None):
         opt.lr, schedule=opt.lr_schedule,
         total_steps=opt.epochs * steps_per_epoch,
     )
-    state = create_train_state(variables, tx)
+    state = create_train_state(variables, tx, ema=opt.ema_decay > 0)
     if opt.starting_epoch > 0:
         state = restore_checkpoint(
             opt.root_dir, opt.renderer, opt.starting_epoch, state
@@ -232,10 +247,12 @@ def main(argv=None):
         epochs_save=opt.epochs_save, starting_epoch=opt.starting_epoch,
         num_source_views=opt.num_source_views, save_root=opt.root_dir,
         run_name=opt.renderer, seed=opt.seed, step_impl=opt.step_impl,
-        prefetch=opt.prefetch,
+        prefetch=opt.prefetch, ema_decay=opt.ema_decay,
+        save_best=not opt.no_save_best,
     )
     loss_params = LossParams(
-        loss_mode=opt.loss_mode, depth_regularization=opt.depth_regularization
+        loss_mode=opt.loss_mode, depth_regularization=opt.depth_regularization,
+        depth_consistency=opt.depth_consistency,
     )
 
     if opt.profile_dir:

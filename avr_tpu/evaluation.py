@@ -35,13 +35,17 @@ def test_approximate(
     render_chunk: int = 4096,
     seed: int = 0,
     max_instances: Optional[int] = None,
+    use_ema: bool = False,
 ) -> Dict[str, float]:
-    """Mean PSNR/SSIM/(LPIPS)/loss over the test split (reference test.py:4-75)."""
+    """Mean PSNR/SSIM/(LPIPS)/loss over the test split (reference test.py:4-75).
+
+    ``use_ema`` evaluates the state's EMA parameters (when maintained).
+    """
     import dataclasses
 
     encode_fn = make_encode_fn(model)
     render_fn = make_render_fn(model)
-    variables = state.variables()
+    variables = state.eval_variables() if use_ema else state.variables()
     rng = np.random.default_rng(seed)
     fine = loss_params.loss_mode != "coarse"
     # The raymarcher renders no fine image (reference renderers.py:351);

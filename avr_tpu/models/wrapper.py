@@ -174,7 +174,11 @@ class RadFieldRenderer(nn.Module):
             )
         # AVR_SORT=0 disables the locality sort independently of the gather
         # impl (A/B knob: previously only BENCH_GATHER=xla could turn the
-        # sort off, conflating the two effects)
+        # sort off, conflating the two effects).  Trace-time-bound: the env
+        # var is read while the step is being traced, so flipping it after a
+        # step has compiled has no effect on the cached program — A/B
+        # harnesses must rebuild the model/step per variant (ab_vr_tpu.py
+        # does).
         if (
             impl != "pallas"
             or self.is_initializing()

@@ -37,6 +37,13 @@ def permutation_take(a: jnp.ndarray, order: jnp.ndarray, inv: jnp.ndarray):
     ``order[b][inv[b]] == arange(N)``.  Gradient flows to ``a`` only, as a
     gather by ``inv`` (never a scatter).  Callers already hold both
     directions (``inv = argsort(order)``), so passing both is free.
+
+    **Reverse-mode only**: this is a ``jax.custom_vjp`` with no JVP rule, so
+    forward-mode differentiation (``jax.jvp``, ``jax.hessian``-style HVPs)
+    through any sorted renderer path raises.  Deliberate: routing the JVP
+    through ``take_along_axis`` and letting JAX transpose it would bring the
+    scatter-add adjoint back, which is the op this module exists to avoid.
+    (The forward tangent, were one needed, is just ``_take_rows(t, order)``.)
     """
     return _take_rows(a, order)
 

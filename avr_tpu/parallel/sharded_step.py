@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from avr_tpu.parallel.mesh import batch_sharding, ray_sharding, replicated
 from avr_tpu.training.loss import LossParams, loss_fn
 from avr_tpu.training.state import TrainState
+from avr_tpu.training.step import apply_gradients
 
 __all__ = ["make_sharded_train_step", "make_shardmap_train_step"]
 
@@ -42,6 +43,7 @@ def make_sharded_train_step(
     loss_params: LossParams,
     mesh: Mesh,
     donate: bool = True,
+    ema_decay: float = 0.999,
 ) -> Callable:
     """Build the mesh-sharded jitted train step (same signature as the
     single-chip step from ``make_train_step``)."""
@@ -75,13 +77,9 @@ def make_sharded_train_step(
         (loss, new_model_state), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+        new_state = apply_gradients(
+            state, grads, tx,
+            new_model_state.get("batch_stats", state.batch_stats), ema_decay,
         )
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
@@ -116,6 +114,7 @@ def make_shardmap_train_step(
     loss_params: LossParams,
     mesh: Mesh,
     donate: bool = True,
+    ema_decay: float = 0.999,
 ) -> Callable:
     """Build a ``shard_map``-based train step (same signature as
     ``make_train_step``).
@@ -208,14 +207,7 @@ def make_shardmap_train_step(
             state.params, state.batch_stats, src_images, src_poses,
             focal, c, model_input, gt, key,
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            batch_stats=new_stats,
-        )
+        new_state = apply_gradients(state, grads, tx, new_stats, ema_decay)
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     rep = replicated(mesh)

@@ -120,18 +120,22 @@ def render_adaptive(
         rgb, distance = fused_volume_integral(
             z_q, out, white_back=cfg.white_back, interpret=backend == "cpu"
         )
+        acc = None
     else:
         sigma, rad = _query(field, ros_q, rds_q, z_q, coarse=False)
-        rgb, distance, _ = volume_integral(
+        rgb, distance, weights = volume_integral(
             z_q, sigma, rad, white_back=cfg.white_back
         )
+        acc = jnp.sum(weights, axis=-2)  # (SB, R, 1) total band opacity
 
     if sort_key_fn is not None:
         rgb = take(rgb, inv, order)
         distance = take(distance, inv, order)
+        if acc is not None:
+            acc = take(acc, inv, order)
         world = ros + rds * distance
     else:
         world = ros + rds * distance
     depth = depth_from_world(world, cam2world)[..., None]
 
-    return RenderOutput(rgb_coarse, rgb, depth_coarse, depth)
+    return RenderOutput(rgb_coarse, rgb, depth_coarse, depth, acc)

@@ -34,6 +34,12 @@ class RenderOutput(NamedTuple):
     rgb_fine: Optional[jnp.ndarray]  # (SB, R, 3) — None for the raymarcher
     depth_coarse: jnp.ndarray  # (SB, R, 1)
     depth_fine: jnp.ndarray  # (SB, R, 1)
+    # Total compositing opacity of the fine integral, (SB, R, 1); None when
+    # the renderer has no fine integral (raymarcher) or the fused integral
+    # kernel is active.  Consumed by the opacity-weighted depth-consistency
+    # loss (training/loss.py) — a TPU-build stabilizer for the adaptive
+    # marcher, not a reference output.
+    acc: Optional[jnp.ndarray] = None
 
 
 @dataclass(frozen=True)

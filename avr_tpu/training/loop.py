@@ -72,6 +72,12 @@ class FitConfig:
     step_impl: str = "shardmap"
     # host batches assembled ahead on a worker thread; 0 = synchronous
     prefetch: int = 2
+    # params-EMA decay used by the train step when the state carries
+    # ema_params (create_train_state(ema=True)); no-op otherwise
+    ema_decay: float = 0.999
+    # save {run_name}_best whenever the val PSNR improves (needs save_root
+    # and a val set) — final-checkpoint evaluation understates swingy runs
+    save_best: bool = True
 
 
 def step_rng(seed: int, step: int) -> np.random.Generator:
@@ -233,10 +239,11 @@ def fit(
             if cfg.step_impl == "gspmd"
             else make_shardmap_train_step
         )
-        train_step = maker(model, tx, loss_params, mesh)
+        train_step = maker(model, tx, loss_params, mesh, ema_decay=cfg.ema_decay)
         state = jax.device_put(state, replicated(mesh))
     else:
-        train_step = make_train_step(model, tx, loss_params)
+        train_step = make_train_step(model, tx, loss_params,
+                                     ema_decay=cfg.ema_decay)
     render_fn = make_render_fn(model)
     encode_fn = make_encode_fn(model)
 
@@ -249,6 +256,13 @@ def fit(
     step = start_step
     t_last = time.time()
     rays_done = 0
+    # apply_if_finite watch: after 1000 *consecutive* non-finite batches the
+    # wrapper lets the (poisoned) update through (see make_optimizer) — a
+    # monotone notfinite counter across logging intervals means every batch
+    # is bad and the run is heading there; say so loudly before it does.
+    last_notfinite = None
+    notfinite_growth_streak = 0
+    best_psnr = -float("inf")
 
     for epoch_idx in range(epoch_idx0, epoch_idx0 + cfg.epochs):
         epoch = epoch_idx + 1
@@ -296,6 +310,26 @@ def fit(
                 t_last = time.time()
                 rays_done = 0
                 losses.append(scal["loss"])
+                nf = metrics.get("notfinite")
+                if nf is not None:
+                    nf = int(nf)
+                    if last_notfinite is not None and nf > last_notfinite:
+                        notfinite_growth_streak += 1
+                        if notfinite_growth_streak >= 3 and primary:
+                            import warnings
+
+                            warnings.warn(
+                                f"step {step}: non-finite updates skipped in "
+                                f"{notfinite_growth_streak} consecutive "
+                                f"logging intervals (total {nf}) — training "
+                                "is producing NaN/inf gradients persistently; "
+                                "after 1000 consecutive bad batches "
+                                "apply_if_finite stops protecting the "
+                                "parameters (see make_optimizer)."
+                            )
+                    else:
+                        notfinite_growth_streak = 0
+                    last_notfinite = nf
 
             if val_dset is not None and step % cfg.steps_val == 0:
                 val_batch = next(val_dset.batches(1, shuffle=True))
@@ -308,6 +342,17 @@ def fit(
                         "val", epoch=epoch, step=step, loss=val_loss,
                         psnr=psnr_v, ssim=ssim_v,
                     )
+                if psnr_v > best_psnr:
+                    best_psnr = psnr_v
+                    if cfg.save_root is not None and cfg.save_best:
+                        path = save_checkpoint(
+                            cfg.save_root, cfg.run_name, "best", state
+                        )
+                        if primary:
+                            logger.log(
+                                "checkpoint", epoch=epoch, step=step,
+                                path=path, best_psnr=psnr_v,
+                            )
 
         if losses:
             mean_losses.append(float(np.mean(losses)))
@@ -332,7 +377,9 @@ def validate(
     src_images, src_poses, focal, c = select_source_views(
         rng, val_batch, 1, fixed_idx=[src_view]
     )
-    variables = state.variables()
+    # EMA params when maintained (the marched-surface renderers' val
+    # quality is far less step-to-step noisy under the average)
+    variables = state.eval_variables()
     cond = encode_fn(variables, src_images, src_poses, focal, c)
 
     tv = min(target_view, NV - 1)

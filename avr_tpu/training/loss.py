@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from avr_tpu.renderers.base import RenderOutput
@@ -27,6 +28,16 @@ class LossParams:
     near: float = 0.5
     far: float = 2.0
     depth_penalty_scale: float = 10000.0
+    # Opacity-weighted marcher<-integral depth-consistency weight (0 = off;
+    # TPU-build stabilizer, not a reference term).  The adaptive marcher's
+    # only training signal is the photometric loss *through the band*; when
+    # a band drifts off-surface the photometric gradient w.r.t. the marched
+    # distance goes flat and the marcher has nothing to pull it back.  This
+    # term supervises the marched depth (depth_coarse) toward the band
+    # integral's expected depth (depth_fine, detached), weighted per ray by
+    # the integral's total opacity (detached) so empty bands — where the
+    # integral depth is meaningless — contribute nothing.
+    depth_consistency: float = 0.0
 
 
 def loss_fn(out: RenderOutput, gt: jnp.ndarray, params: LossParams) -> jnp.ndarray:
@@ -42,6 +53,19 @@ def loss_fn(out: RenderOutput, gt: jnp.ndarray, params: LossParams) -> jnp.ndarr
             )
         loss = loss + jnp.mean((out.rgb_fine - gt) ** 2)
     loss = jnp.where(jnp.isnan(loss), 1e-6, loss)
+    if params.depth_consistency:
+        if out.acc is None:
+            raise ValueError(
+                "depth_consistency needs the renderer's band opacity "
+                "(RenderOutput.acc) — the adaptive renderer with "
+                "fused_integral='never' produces it; the fused integral "
+                "kernel and the other renderers do not"
+            )
+        w = jax.lax.stop_gradient(out.acc)
+        target = jax.lax.stop_gradient(out.depth_fine)
+        loss = loss + params.depth_consistency * jnp.mean(
+            w * (out.depth_coarse - target) ** 2
+        )
     if params.depth_regularization:
         depth = out.depth_coarse
         penalty = jnp.maximum(params.near - depth, 0.0) + jnp.maximum(

@@ -12,7 +12,7 @@ import jax
 import optax
 from flax import struct
 
-__all__ = ["TrainState", "create_train_state", "make_optimizer"]
+__all__ = ["TrainState", "create_train_state", "make_optimizer", "ema_update"]
 
 
 def make_optimizer(
@@ -41,6 +41,15 @@ def make_optimizer(
     ``total_steps`` — long constant-lr NeRF runs intermittently collapse
     on late grad spikes (observed: val PSNR 23 -> 13 in the last 500 of
     10k steps), which decay prevents.
+
+    Threshold caveat: ``apply_if_finite(max_consecutive_errors=1000)``
+    applies the inner update *anyway* after 1000 consecutive non-finite
+    batches — optax's escape hatch against a permanently-wedged optimizer.
+    A healthy run skips isolated bad batches and the counter resets; a run
+    that reaches the threshold is already broken (1000 straight NaN
+    batches), and letting the poisoned update through makes the failure
+    loud instead of a silent permanent stall.  ``fit`` watches the ``notfinite``
+    metric and warns when it grows across consecutive logging intervals.
     """
     if schedule == "cosine":
         if not total_steps:
@@ -63,6 +72,14 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any  # {} when the model has no BatchNorm collections
     opt_state: Any
+    # Exponential moving average of ``params`` (None = EMA disabled).
+    # Maintained inside the fused train step when the step was built with
+    # ``ema_decay > 0``; evaluation reads it via :meth:`eval_variables`.
+    # The marched-surface renderer's val quality swings +-7 dB between
+    # consecutive evals under raw params (PERF.md round 3: tiny parameter
+    # motion flips whether whole scenes' epsilon-bands land on-surface);
+    # the EMA is the stabilizer.
+    ema_params: Any = None
 
     def variables(self):
         v = {"params": self.params}
@@ -70,8 +87,17 @@ class TrainState(struct.PyTreeNode):
             v["batch_stats"] = self.batch_stats
         return v
 
+    def eval_variables(self):
+        """Variables for evaluation: EMA params when maintained, else raw."""
+        v = {"params": self.ema_params if self.ema_params is not None else self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
 
-def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+
+def create_train_state(
+    variables, tx: optax.GradientTransformation, ema: bool = False
+) -> TrainState:
     import jax.numpy as jnp
 
     params = variables["params"]
@@ -80,4 +106,16 @@ def create_train_state(variables, tx: optax.GradientTransformation) -> TrainStat
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.array, params) if ema else None,
+    )
+
+
+def ema_update(ema_params, new_params, decay: float):
+    """One EMA step: ``ema <- decay * ema + (1 - decay) * params``."""
+    import jax.numpy as jnp
+
+    d = jnp.float32(decay)
+    return jax.tree.map(
+        lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)).astype(e.dtype),
+        ema_params, new_params,
     )

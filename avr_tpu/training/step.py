@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from avr_tpu.training.loss import LossParams, loss_fn
-from avr_tpu.training.state import TrainState
+from avr_tpu.training.state import TrainState, ema_update
 
 __all__ = [
     "make_train_step",
@@ -31,7 +31,32 @@ __all__ = [
     "make_eval_step",
     "make_encode_fn",
     "make_render_fn",
+    "apply_gradients",
 ]
+
+
+def apply_gradients(
+    state: TrainState, grads, tx, new_stats, ema_decay: float
+) -> TrainState:
+    """Optimizer update + step/stats bump + (optional) params-EMA update.
+
+    Shared by every train-step flavour (single-chip, chunked, GSPMD,
+    shard_map) so the EMA semantics can't drift between them.  The EMA is
+    maintained only when the state carries ``ema_params`` (see
+    ``create_train_state(ema=True)``).
+    """
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = state.ema_params
+    if new_ema is not None and ema_decay > 0.0:
+        new_ema = ema_update(new_ema, new_params, ema_decay)
+    return state.replace(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=new_opt_state,
+        batch_stats=new_stats,
+        ema_params=new_ema,
+    )
 
 
 def make_train_step(
@@ -40,6 +65,7 @@ def make_train_step(
     loss_params: LossParams,
     donate: bool = True,
     ray_chunks: int = 1,
+    ema_decay: float = 0.999,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -156,13 +182,9 @@ def make_train_step(
             grads = jax.tree.map(
                 lambda a, b: a * scale + b, gp, gp_enc
             )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+        new_state = apply_gradients(
+            state, grads, tx,
+            new_model_state.get("batch_stats", state.batch_stats), ema_decay,
         )
         metrics = {
             "loss": loss,
@@ -170,8 +192,8 @@ def make_train_step(
         }
         # apply_if_finite (make_optimizer): count of skipped (non-finite)
         # updates — the TPU-native version of the reference's NaN detach
-        if hasattr(new_opt_state, "total_notfinite"):
-            metrics["notfinite"] = new_opt_state.total_notfinite
+        if hasattr(new_state.opt_state, "total_notfinite"):
+            metrics["notfinite"] = new_state.opt_state.total_notfinite
         return new_state, metrics
 
     del has_bn
@@ -183,6 +205,7 @@ def make_chunked_call_train_step(
     tx: optax.GradientTransformation,
     loss_params: LossParams,
     ray_chunks: int,
+    ema_decay: float = 0.999,
 ) -> Callable:
     """The ``ray_chunks`` update as N+2 *small* jitted programs.
 
@@ -263,17 +286,13 @@ def make_chunked_call_train_step(
         _, enc_vjp = jax.vjp(enc, state.params)
         gp_enc = enc_vjp(gc)[0]
         grads = jax.tree.map(lambda a, b: a * scale + b, gp, gp_enc)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+        new_state = apply_gradients(
+            state, grads, tx,
+            new_model_state.get("batch_stats", state.batch_stats), ema_decay,
         )
         metrics = {"loss": lsum / C, "grad_norm": optax.global_norm(grads)}
-        if hasattr(new_opt_state, "total_notfinite"):
-            metrics["notfinite"] = new_opt_state.total_notfinite
+        if hasattr(new_state.opt_state, "total_notfinite"):
+            metrics["notfinite"] = new_state.opt_state.total_notfinite
         return new_state, metrics
 
     def step(state: TrainState, src_images, src_poses, focal, c,

@@ -119,6 +119,49 @@ def test_restore_missing_checkpoint_warns_not_crashes(tmp_path):
     assert out is state
 
 
+def test_restore_optimizer_drift_keeps_params_and_warns(tmp_path):
+    """A checkpoint saved with a different optimizer wrapper restores
+    params/step (fresh opt init) with an explicit warning — the reference
+    restarts Adam on resume anyway (train.py:277-278)."""
+    from avr_tpu.training import make_optimizer
+
+    model = _make_model(VolumeRendererConfig(n_coarse=4, n_fine=2, n_fine_depth=1))
+    state = _init_state(model, optax.adam(1e-4))
+    save_checkpoint(str(tmp_path), "drift", 1, state)
+
+    tx2 = make_optimizer(1e-4)  # apply_if_finite wrapper: different opt tree
+    template = _init_state(model, tx2).replace(
+        params=jax.tree.map(lambda x: x + 1.0, state.params)
+    )
+    with pytest.warns(UserWarning, match="optimizer state"):
+        restored = restore_checkpoint(str(tmp_path), "drift", 1, template)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # opt state keeps the template's fresh apply_if_finite structure
+    assert type(restored.opt_state) is type(template.opt_state)
+
+
+def test_restore_wrong_model_checkpoint_raises(tmp_path):
+    """A wrong-model checkpoint must raise, not silently partial-restore:
+    the fallback path only forgives *optimizer-state* drift and validates
+    the params structure against the template (ADVICE round 3)."""
+    from avr_tpu.training import make_optimizer
+
+    model_a = _make_model(VolumeRendererConfig(n_coarse=4, n_fine=2, n_fine_depth=1))
+    state_a = _init_state(model_a, optax.adam(1e-4))
+    save_checkpoint(str(tmp_path), "wrongmodel", 1, state_a)
+
+    # different params structure (decoder-less raymarcher model) AND a
+    # different optimizer wrapper, so the template restore fails and the
+    # fallback path must notice the params mismatch
+    from avr_tpu.renderers.base import RaymarcherConfig
+
+    model_b = _make_model(RaymarcherConfig(raymarch_steps=2))
+    template = _init_state(model_b, make_optimizer(1e-4))
+    with pytest.raises(ValueError, match="structure does not match"):
+        restore_checkpoint(str(tmp_path), "wrongmodel", 1, template)
+
+
 def test_ray_chunked_step_matches_unchunked(monkeypatch):
     """ray_chunks=N accumulates to the same update as the monolithic step.
 
