@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of the first training "
                         "steps into this directory (view with xprof/tensorboard)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rng_mode", type=str, default="legacy",
+                   choices=["legacy", "per_ray"],
+                   help="sampler randomness: 'per_ray' hashes global ray "
+                        "ids so any mesh shape / step impl / chunking "
+                        "consumes an identical stream; 'legacy' draws from "
+                        "the per-step key")
     p.add_argument("--prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="PRNG bit generator. 'rbg' is the TPU-native choice "
@@ -248,7 +254,7 @@ def main(argv=None):
         num_source_views=opt.num_source_views, save_root=opt.root_dir,
         run_name=opt.renderer, seed=opt.seed, step_impl=opt.step_impl,
         prefetch=opt.prefetch, ema_decay=opt.ema_decay,
-        save_best=not opt.no_save_best,
+        save_best=not opt.no_save_best, rng_mode=opt.rng_mode,
     )
     loss_params = LossParams(
         loss_mode=opt.loss_mode, depth_regularization=opt.depth_regularization,

@@ -243,10 +243,13 @@ class RadFieldRenderer(nn.Module):
 
         def march_fn(k, ros, rds):
             # drawn 2D (matches renderers/raymarch.py): trailing-1 layouts
-            # run the RNG chain slowly on the VPU
+            # run the RNG chain slowly on the VPU; _normal_2d dispatches the
+            # sharding-invariant RaySeeds hash too
+            from avr_tpu.ops.sampling import _normal_2d
+
             init_distance = cfg.init_distance_mean + (
                 cfg.init_distance_std
-                * jax.random.normal(k, ros.shape[:2], jnp.float32)[..., None]
+                * _normal_2d(k, ros.shape[:2], jnp.float32)[..., None]
             )
             coords0 = ros + rds * init_distance
 

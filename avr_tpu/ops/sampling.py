@@ -35,13 +35,22 @@ __all__ = ["sample_coarse", "sample_fine", "sample_depth"]
 def _uniform_2d(key, shape, dtype=jnp.float32):
     """Uniform draw generated in a flat 2D ``(lead, rest)`` layout.
 
-    The samplers want ``(SB, R, n)`` with n ~ 20-32: the VPU processes the
-    RNG's bits->float chain slowly in trailing-n / flattened-1D layouts
-    (~2 ms/step at benchmark shapes, PERF.md lever 5).  On TPU backends the
-    bits come from the core PRNG via a Pallas kernel in a tiled 2D layout
-    (XLA flattens the rbg chain to 1D regardless of the requested shape);
-    elsewhere, a flat-2D ``jax.random`` draw.
+    ``key`` may be a PRNG key (legacy streams) or a
+    :class:`~avr_tpu.ops.hashrng.RaySeeds` — the sharding-invariant per-ray
+    counter hash, where the draw depends only on the ray's *global* id so
+    any mesh/step-impl consumes identical randomness (``rng_mode`` knob).
+
+    Key path: the samplers want ``(SB, R, n)`` with n ~ 20-32: the VPU
+    processes the RNG's bits->float chain slowly in trailing-n /
+    flattened-1D layouts (~2 ms/step at benchmark shapes, PERF.md lever 5).
+    On TPU backends the bits come from the core PRNG via a Pallas kernel in
+    a tiled 2D layout (XLA flattens the rbg chain to 1D regardless of the
+    requested shape); elsewhere, a flat-2D ``jax.random`` draw.
     """
+    from avr_tpu.ops.hashrng import RaySeeds, hash_uniform
+
+    if isinstance(key, RaySeeds):
+        return hash_uniform(key, shape).astype(dtype)
     flat = (shape[0], int(np.prod(shape[1:]))) if len(shape) > 2 else shape
     if (
         dtype == jnp.float32
@@ -56,6 +65,10 @@ def _uniform_2d(key, shape, dtype=jnp.float32):
 
 def _normal_2d(key, shape, dtype=jnp.float32):
     """Normal draw in a flat 2D layout (see :func:`_uniform_2d`)."""
+    from avr_tpu.ops.hashrng import RaySeeds, hash_normal
+
+    if isinstance(key, RaySeeds):
+        return hash_normal(key, shape).astype(dtype)
     flat = (shape[0], int(np.prod(shape[1:]))) if len(shape) > 2 else shape
     return jax.random.normal(key, flat, dtype=dtype).reshape(shape)
 
@@ -108,7 +121,9 @@ def sample_fine(
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (SB, R, n+1)
 
-    k_u, k_jitter = jax.random.split(key)
+    from avr_tpu.ops.hashrng import split_any
+
+    k_u, k_jitter = split_any(key)
     u_shape = weights.shape[:-1] + (num_samples,)
     u = _uniform_2d(k_u, u_shape)
     # searchsorted is along the last axis; vmap over the leading dims.

@@ -44,11 +44,25 @@ def make_sharded_train_step(
     mesh: Mesh,
     donate: bool = True,
     ema_decay: float = 0.999,
+    rng_mode: str = "legacy",
 ) -> Callable:
     """Build the mesh-sharded jitted train step (same signature as the
-    single-chip step from ``make_train_step``)."""
+    single-chip step from ``make_train_step``).
+
+    ``rng_mode='per_ray'`` (avr_tpu.ops.hashrng) draws sampler randomness
+    from global ray ids: the iota-derived ids partition into globally
+    consistent values under any sharding, so this step consumes the same
+    stream as the single-chip and shard_map steps.
+    """
+    from avr_tpu.ops import hashrng
 
     def step(state: TrainState, src_images, src_poses, focal, c, model_input, gt, key):
+        if rng_mode == "per_ray":
+            SBg, Rg = gt.shape[:2]
+            render_key = hashrng.derive(key, hashrng.global_ray_ids(SBg, Rg))
+        else:
+            render_key = key
+
         def compute_loss(params):
             variables = {"params": params}
             mutable = []
@@ -69,7 +83,7 @@ def make_sharded_train_step(
             out = model.apply(
                 variables, cond,
                 model_input["x_pix"], model_input["intrinsics"],
-                model_input["cam2world"], key, train=True,
+                model_input["cam2world"], render_key, train=True,
                 method=model.render,
             )
             return loss_fn(out, gt, loss_params), new_model_state
@@ -115,6 +129,7 @@ def make_shardmap_train_step(
     mesh: Mesh,
     donate: bool = True,
     ema_decay: float = 0.999,
+    rng_mode: str = "legacy",
 ) -> Callable:
     """Build a ``shard_map``-based train step (same signature as
     ``make_train_step``).
@@ -125,18 +140,31 @@ def make_shardmap_train_step(
     (the all-reduce rides ICI), and the optimizer update runs on the synced
     grads, so parameters stay bitwise replicated.
 
-    The per-shard RNG key is ``fold_in(key, linear_shard_index)`` — shards
-    draw decorrelated stratified jitter / init distances (iid across the
-    global ray batch, like the single-chip step; not bitwise identical to
-    it).
+    RNG: with ``rng_mode='legacy'`` the per-shard key is
+    ``fold_in(key, linear_shard_index)`` — shards draw decorrelated
+    stratified jitter / init distances (iid across the global ray batch,
+    like the single-chip step; not bitwise identical to it).  With
+    ``'per_ray'`` (avr_tpu.ops.hashrng) each ray's draws hash its *global*
+    id reconstructed from the mesh axis indices, so this step consumes the
+    exact stream of the GSPMD and single-chip steps.
     """
     from jax.experimental.shard_map import shard_map
 
+    from avr_tpu.ops import hashrng
+
     def local_loss_and_grads(params, batch_stats, src_images, src_poses,
                              focal, c, model_input, gt, key):
-        di = jax.lax.axis_index("data")
-        ri = jax.lax.axis_index("rays")
-        key = jax.random.fold_in(key, di * jax.lax.axis_size("rays") + ri)
+        if rng_mode == "per_ray":
+            SBl, Rl = gt.shape[:2]
+            key = hashrng.derive(
+                key, hashrng.shard_ray_ids(SBl, Rl, "data", "rays")
+            )
+        else:
+            di = jax.lax.axis_index("data")
+            ri = jax.lax.axis_index("rays")
+            key = jax.random.fold_in(
+                key, di * jax.lax.axis_size("rays") + ri
+            )
 
         def compute_loss(params):
             variables = {"params": params}

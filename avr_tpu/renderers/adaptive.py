@@ -46,8 +46,10 @@ def render_adaptive(
     sort_key_fn=None,  # optional: coords (SB, R, 3) -> (SB, R) locality key
     fused_integral: str = "auto",  # 'never' | 'auto' (TPU) | 'always' (CPU: interpret)
 ) -> RenderOutput:
+    from avr_tpu.ops.hashrng import split_any
+
     ros, rds = get_world_rays(xy_pix, intrinsics, cam2world)
-    k_march, k_band = jax.random.split(key)
+    k_march, k_band = split_any(key)
 
     if march_fn is not None:
         # e.g. the fused Pallas march (avr_tpu.ops.pallas.march)

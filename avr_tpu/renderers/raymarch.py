@@ -64,8 +64,11 @@ def lstm_march(
 
     SB, R, _ = ros.shape
     # drawn 2D: trailing-1 layouts run the RNG chain slowly on the VPU
-    # (same stream as the fused-march wrapper so the paths stay comparable)
-    init_distance = init_mean + init_std * jax.random.normal(
+    # (same stream as the fused-march wrapper so the paths stay comparable);
+    # _normal_2d also dispatches the sharding-invariant RaySeeds hash
+    from avr_tpu.ops.sampling import _normal_2d
+
+    init_distance = init_mean + init_std * _normal_2d(
         key, (SB, R), jnp.float32
     )[..., None]
     coords0 = ros + rds * init_distance

@@ -85,7 +85,9 @@ def render_volume(
 
     near = jnp.full((SB, R), cfg.near, jnp.float32)
     far = jnp.full((SB, R), cfg.far, jnp.float32)
-    k_coarse, k_fine, k_depth = jax.random.split(key, 3)
+    from avr_tpu.ops.hashrng import split_any
+
+    k_coarse, k_fine, k_depth = split_any(key, 3)
 
     # --- coarse pass -----------------------------------------------------
     z_coarse = sample_coarse(k_coarse, near, far, cfg.n_coarse)

@@ -11,7 +11,9 @@ from avr_tpu.training.step import (  # noqa: F401
     make_encode_fn,
     make_render_fn,
 )
-from avr_tpu.training.loop import FitConfig, fit, render_full_image, validate  # noqa: F401
+from avr_tpu.training.loop import (  # noqa: F401
+    FitConfig, fit, render_full_image, validate, validate_scenes,
+)
 from avr_tpu.training.checkpoint import (  # noqa: F401
     save_checkpoint,
     restore_checkpoint,

@@ -46,6 +46,7 @@ __all__ = [
     "FitConfig",
     "fit",
     "render_full_image",
+    "validate_scenes",
     "select_source_views",
     "step_rng",
     "assemble_step_inputs",
@@ -75,9 +76,18 @@ class FitConfig:
     # params-EMA decay used by the train step when the state carries
     # ema_params (create_train_state(ema=True)); no-op otherwise
     ema_decay: float = 0.999
+    # sampler RNG: 'per_ray' (sharding-invariant counter hash on global ray
+    # ids — identical stream for any mesh/step_impl/chunking) or 'legacy'
+    # (per-step-key streams)
+    rng_mode: str = "legacy"
     # save {run_name}_best whenever the val PSNR improves (needs save_root
     # and a val set) — final-checkpoint evaluation understates swingy runs
     save_best: bool = True
+    # validation renders average over this many FIXED scenes.  A single
+    # random scene per eval (the old behaviour) made consecutive val PSNRs
+    # swing several dB on per-scene difficulty alone — which both masked
+    # real instability and made best-val selection pick scene luck.
+    val_scenes: int = 4
 
 
 def step_rng(seed: int, step: int) -> np.random.Generator:
@@ -239,11 +249,13 @@ def fit(
             if cfg.step_impl == "gspmd"
             else make_shardmap_train_step
         )
-        train_step = maker(model, tx, loss_params, mesh, ema_decay=cfg.ema_decay)
+        train_step = maker(model, tx, loss_params, mesh,
+                           ema_decay=cfg.ema_decay, rng_mode=cfg.rng_mode)
         state = jax.device_put(state, replicated(mesh))
     else:
         train_step = make_train_step(model, tx, loss_params,
-                                     ema_decay=cfg.ema_decay)
+                                     ema_decay=cfg.ema_decay,
+                                     rng_mode=cfg.rng_mode)
     render_fn = make_render_fn(model)
     encode_fn = make_encode_fn(model)
 
@@ -332,10 +344,9 @@ def fit(
                     last_notfinite = nf
 
             if val_dset is not None and step % cfg.steps_val == 0:
-                val_batch = next(val_dset.batches(1, shuffle=True))
-                psnr_v, ssim_v, val_loss = validate(
-                    model, state, encode_fn, render_fn, val_batch, loss_params,
-                    cfg.render_chunk,
+                psnr_v, ssim_v, val_loss = validate_scenes(
+                    model, state, encode_fn, render_fn, val_dset, loss_params,
+                    cfg.render_chunk, num_scenes=cfg.val_scenes,
                 )
                 if primary:
                     logger.log(
@@ -362,6 +373,31 @@ def fit(
                 logger.log("checkpoint", epoch=epoch, path=path)
 
     return state, mean_losses
+
+
+def validate_scenes(
+    model, state: TrainState, encode_fn, render_fn, val_dset,
+    loss_params: LossParams, chunk: int = 4096, num_scenes: int = 4,
+):
+    """Deterministic validation: mean PSNR/SSIM/loss over a fixed scene set.
+
+    The scene ORDER is pinned (``epoch_seed=0``) and the same scenes render
+    every eval, so consecutive val numbers are comparable — the property
+    best-val checkpoint selection needs.
+    """
+    ps, ss, ls = [], [], []
+    for i, batch in enumerate(
+        val_dset.batches(1, shuffle=True, epoch_seed=0, drop_last=False)
+    ):
+        if i >= num_scenes:
+            break
+        p, s, l = validate(
+            model, state, encode_fn, render_fn, batch, loss_params, chunk
+        )
+        ps.append(p)
+        ss.append(s)
+        ls.append(l)
+    return float(np.mean(ps)), float(np.mean(ss)), float(np.mean(ls))
 
 
 def validate(

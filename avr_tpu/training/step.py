@@ -66,6 +66,7 @@ def make_train_step(
     donate: bool = True,
     ray_chunks: int = 1,
     ema_decay: float = 0.999,
+    rng_mode: str = "legacy",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -87,9 +88,19 @@ def make_train_step(
     chunk, which keeps the stash backward inside its HBM budget at the
     classic VolumeRenderer's 1.6 M fine points/step.  Deviations from the
     unchunked step, both documented knobs: the loss NaN-guard applies
-    per chunk, and each chunk draws its own sampler RNG stream.
+    per chunk, and (in ``rng_mode='legacy'``) each chunk draws its own
+    sampler RNG stream.
+
+    ``rng_mode='per_ray'`` derives every sampler draw from the ray's
+    global id via the counter hash (``avr_tpu.ops.hashrng``): the stream
+    is then identical for any mesh shape, step implementation (GSPMD /
+    shard_map / single chip), and ray-chunk count.  ``'legacy'`` keeps the
+    per-step-key streams.
     """
+    if rng_mode not in ("legacy", "per_ray"):
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
     has_bn = model.model_cfg.encoder.norm_type == "batch"
+    from avr_tpu.ops import hashrng
 
     def step(state: TrainState, src_images, src_poses, focal, c, model_input, gt, key):
         def enc(params):
@@ -111,6 +122,12 @@ def make_train_step(
                 new_model_state = {}
             return cond, new_model_state
 
+        if rng_mode == "per_ray":
+            SBg, Rg = gt.shape[:2]
+            render_key = hashrng.derive(key, hashrng.global_ray_ids(SBg, Rg))
+        else:
+            render_key = key
+
         def compute_loss(params):
             cond, new_model_state = enc(params)
             out = model.apply(
@@ -119,7 +136,7 @@ def make_train_step(
                 )},
                 cond,
                 model_input["x_pix"], model_input["intrinsics"],
-                model_input["cam2world"], key, train=True,
+                model_input["cam2world"], render_key, train=True,
                 method=model.render,
             )
             loss = loss_fn(out, gt, loss_params)
@@ -143,14 +160,22 @@ def make_train_step(
                 return a.reshape(SB, C, R // C, *a.shape[2:]).swapaxes(0, 1)
 
             intr = model_input["intrinsics"]
+            if rng_mode == "per_ray":
+                # one global seed map chunked like the other per-ray arrays:
+                # the chunked stream equals the unchunked one exactly
+                chunk_keys = chunk(render_key.seeds)
+            else:
+                chunk_keys = jax.random.split(key, C)
             xs = (
                 chunk(model_input["x_pix"]),
                 chunk(model_input["cam2world"]),
                 chunk(gt),
-                jax.random.split(key, C),
+                chunk_keys,
             )
 
             def chunk_loss(params, cond_, x_pix, c2w, gt_k, k):
+                if rng_mode == "per_ray":
+                    k = hashrng.RaySeeds(seeds=k)
                 variables = {"params": params}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
@@ -206,6 +231,7 @@ def make_chunked_call_train_step(
     loss_params: LossParams,
     ray_chunks: int,
     ema_decay: float = 0.999,
+    rng_mode: str = "legacy",
 ) -> Callable:
     """The ``ray_chunks`` update as N+2 *small* jitted programs.
 
@@ -229,7 +255,14 @@ def make_chunked_call_train_step(
     program's peak memory is the point of the whole exercise: it bounds
     the stash at (points/N), which puts the classic VolumeRenderer's
     1.6 M fine points back inside the stash backward's HBM budget.
+
+    ``rng_mode`` as in :func:`make_train_step`; ``'per_ray'`` makes the
+    chunked stream bitwise equal to the unchunked one.
     """
+    if rng_mode not in ("legacy", "per_ray"):
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    from avr_tpu.ops import hashrng
+
     C = ray_chunks
 
     @jax.jit
@@ -309,7 +342,12 @@ def make_chunked_call_train_step(
             SB = a.shape[0]
             return a.reshape(SB, C, R // C, *a.shape[2:])[:, i]
 
-        keys = jax.random.split(key, C)
+        if rng_mode == "per_ray":
+            SBg = gt.shape[0]
+            seeds = hashrng.derive(key, hashrng.global_ray_ids(SBg, R)).seeds
+            keys = [hashrng.RaySeeds(seeds=chunk(seeds, i)) for i in range(C)]
+        else:
+            keys = jax.random.split(key, C)
         gp = jax.tree.map(jnp.zeros_like, state.params)
         gc = jax.tree.map(jnp.zeros_like, cond)
         lacc = jnp.float32(0.0)

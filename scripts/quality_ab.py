@@ -90,7 +90,7 @@ def main(argv=None):
     from avr_tpu.cli.test import main as test_main
     from avr_tpu.cli.train import main as train_main
 
-    def eval_args(name, epoch, extra=()):
+    def eval_args(name, epoch, use_ema=False, extra=()):
         args = [
             "--root_dir", opt.workdir,
             "--renderer", name,
@@ -99,7 +99,7 @@ def main(argv=None):
             "--sl", str(opt.side),
             "--norm_type", "group",
         ]
-        if opt.ema_decay > 0:
+        if use_ema:
             args.append("--use_ema")
         if opt.lpips_weights:
             args += ["--lpips_weights", opt.lpips_weights]
@@ -148,12 +148,22 @@ def main(argv=None):
                 epochs * spe * opt.batch_size * opt.ray_batch_size / train_s, 1
             ),
         }
-        final = test_main(eval_args(name, epochs))
-        if isinstance(final, dict):
-            entry.update({k: float(v) for k, v in final.items()})
-        best = test_main(eval_args(name, "best"))
-        if isinstance(best, dict):
-            entry["best"] = {k: float(v) for k, v in best.items()}
+        # final x best, raw x EMA — measured round 4: the EMA *hurt* the
+        # adaptive arm by ~3 dB at test (the marcher and field co-adapt;
+        # averaging them independently breaks the coupling), so neither
+        # view is assumed — both are recorded and the table reports each
+        # arm at its honest best.
+        for tag, epoch in (("final", epochs), ("best", "best")):
+            for ema_tag, use_ema in (("raw", False), ("ema", True)):
+                if opt.ema_decay <= 0 and use_ema:
+                    continue
+                m = test_main(eval_args(name, epoch, use_ema))
+                if isinstance(m, dict):
+                    entry[f"{tag}_{ema_tag}"] = {
+                        k: float(v) for k, v in m.items()
+                    }
+        # headline keys stay flat for continuity with earlier rounds
+        entry.update(entry.get("final_raw", {}))
         if adaptive and opt.eps_scales:
             entry["eps_sweep"] = {}
             from avr_tpu.renderers.base import AdaptiveRendererConfig
@@ -162,7 +172,7 @@ def main(argv=None):
             for s in opt.eps_scales.split(","):
                 s = float(s)
                 m = test_main(eval_args(
-                    name, "best",
+                    name, "best", False,
                     ["--eps_scale", str(s),
                      "--band_samples", str(int(round(n0 * s)))],
                 ))

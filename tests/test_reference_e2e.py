@@ -569,17 +569,15 @@ def test_adaptive_rd_x_zero_is_a_reference_defect(rng, monkeypatch):
     )
 
 
-@pytest.mark.parametrize(
-    "rcfg",
-    [RENDERERS[0], RENDERERS[2]],
-    ids=["volume", "adaptive"],
-)
+@pytest.mark.parametrize("rcfg", RENDERERS, ids=RENDERER_IDS)
 def test_full_render_gradients_match_reference(rng, rcfg, monkeypatch):
     """End-to-end gradient parity through the full composition: the north
     star's d-loss/d-encoder-features target, plus decoder and LSTM weight
     grads (covering the march backward with the ±10 hidden-state clamp,
     reference renderers.py:427-428, and the fine sampler's weight
-    detachment, renderers.py:36)."""
+    detachment, renderers.py:36).  The raymarcher arm exercises the pure
+    march composition (reference renderers.py:292-358): coarse-only loss,
+    grads through the LSTM/out_layer and the feature-mode field queries."""
     ref_wrapper, model, variables, inputs = _make_pair(rcfg, rng)
     SB, R = inputs["xy"].shape[:2]
     gt = rng.uniform(0.0, 1.0, (SB, R, 3)).astype(np.float32)
@@ -596,7 +594,9 @@ def test_full_render_gradients_match_reference(rng, rcfg, monkeypatch):
             "cam2world": _t(inputs["c2w"]),
         }
     )
-    loss_t = ((out_t[0] - _t(gt)) ** 2).mean() + ((out_t[1] - _t(gt)) ** 2).mean()
+    loss_t = ((out_t[0] - _t(gt)) ** 2).mean()
+    if out_t[1] is not None:  # the raymarcher renders coarse-only
+        loss_t = loss_t + ((out_t[1] - _t(gt)) ** 2).mean()
     loss_t.backward()
     want_dlatent = ref_wrapper.rf.encoder.latent.grad.numpy()  # (B, C, H', W')
 
@@ -617,10 +617,10 @@ def test_full_render_gradients_match_reference(rng, rcfg, monkeypatch):
             {"params": params, **stats}, cond.replace(latent=latent),
             xy, K, c2w, jax.random.PRNGKey(0), method=model.render,
         )
-        return (
-            jnp.mean((out.rgb_coarse - jnp.asarray(gt)) ** 2)
-            + jnp.mean((out.rgb_fine - jnp.asarray(gt)) ** 2)
-        )
+        loss = jnp.mean((out.rgb_coarse - jnp.asarray(gt)) ** 2)
+        if out.rgb_fine is not None:
+            loss = loss + jnp.mean((out.rgb_fine - jnp.asarray(gt)) ** 2)
+        return loss
 
     _queue_jax(monkeypatch, **j_noise)
     d_latent, d_params = jax.grad(loss_j, argnums=(0, 1))(
@@ -648,7 +648,15 @@ def test_full_render_gradients_match_reference(rng, rcfg, monkeypatch):
             err_msg=f"param grad {name}",
         )
 
-    for mlp_name in ("mlp_coarse", "mlp_fine"):
+    # the raymarcher's only decoder query is the final coarse one
+    # (reference renderers.py:346-348); its fine MLP never runs, so torch
+    # leaves those .grad as None — compare only the coarse decoder there
+    mlp_names = (
+        ("mlp_coarse",)
+        if isinstance(rcfg, RaymarcherConfig)
+        else ("mlp_coarse", "mlp_fine")
+    )
+    for mlp_name in mlp_names:
         check(
             d_params["net"][mlp_name]["lin_out"]["kernel"],
             ref_grads[f"rf.{mlp_name}.lin_out.weight"].T,
@@ -664,7 +672,10 @@ def test_full_render_gradients_match_reference(rng, rcfg, monkeypatch):
             ref_grads[f"rf.{mlp_name}.lin_z.0.weight"].T,
             f"{mlp_name}.lin_z_0",
         )
-    if isinstance(rcfg, AdaptiveRendererConfig):
+    if isinstance(rcfg, RaymarcherConfig):
+        # untouched fine decoder: zero grads on our side too
+        assert not np.any(np.asarray(d_params["net"]["mlp_fine"]["lin_out"]["kernel"]))
+    if isinstance(rcfg, (AdaptiveRendererConfig, RaymarcherConfig)):
         check(
             d_params["lstm"]["w_ih"],
             ref_grads["renderer.lstm.weight_ih"].T,
