@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--conf", type=str, default=None)
     p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--max_instances", type=int, default=None)
+    p.add_argument("--num_source_views", type=int, default=1,
+                   help="condition on the first NS views (multi-view "
+                        "pooling, reference default_mv config)")
     p.add_argument("--use_ema", action="store_true",
                    help="evaluate the checkpoint's EMA parameters "
                         "(runs trained with --ema_decay)")
@@ -96,7 +99,7 @@ def main(argv=None):
     return test_approximate(
         model, state, dset, LossParams(loss_mode=opt.loss_mode),
         lpips_weights=opt.lpips_weights, max_instances=opt.max_instances,
-        use_ema=opt.use_ema,
+        use_ema=opt.use_ema, num_source_views=opt.num_source_views,
     )
 
 

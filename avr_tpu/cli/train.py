@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_save_best", action="store_true",
                    help="disable saving {renderer}_best at every new best "
                         "val PSNR")
+    p.add_argument("--encoder_weights", type=str, default=None,
+                   help="npz of a torchvision resnet18/34 state dict "
+                        "(np.savez(path, **{k: v.numpy() for k, v in "
+                        "sd.items()})) to warm-start the spatial encoder — "
+                        "the reference trains from ImageNet-pretrained "
+                        "ResNet34 (models.py:227). Requires "
+                        "--norm_type batch (the weights carry BatchNorm "
+                        "statistics). See docs/pretrained.md.")
     p.add_argument("--max_num_instances", type=int, default=-1)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=50)
@@ -222,6 +230,39 @@ def main(argv=None):
         jnp.float32(1.09375 * opt.sl), jnp.asarray([opt.sl / 2.0, opt.sl / 2.0]),
         method=model.init_all,
     )
+    if opt.encoder_weights:
+        # warm-start the encoder trunk from a converted torch checkpoint
+        # (reference models.py:227 `pretrained=True` equivalence)
+        if opt.norm_type != "batch":
+            raise SystemExit(
+                "--encoder_weights carries BatchNorm statistics; run with "
+                "--norm_type batch (the reference's pretrained configuration)"
+            )
+        from avr_tpu.models.torch_import import import_torchvision_resnet
+
+        sd = dict(np.load(opt.encoder_weights))
+        backbone = model_cfg.encoder.backbone
+        bps = (2, 2, 2, 2) if backbone == "resnet18" else (3, 4, 6, 3)
+        imported = import_torchvision_resnet(
+            sd, blocks_per_stage=bps, num_layers=model_cfg.encoder.num_layers
+        )
+        trunk = variables["params"]["net"]["encoder"]["model"]
+        t_have = jax.tree.structure(trunk)
+        t_want = jax.tree.structure(imported["params"])
+        if t_have != t_want:
+            raise SystemExit(
+                f"{opt.encoder_weights} does not match the configured "
+                f"encoder ({backbone}, num_layers="
+                f"{model_cfg.encoder.num_layers}): {t_want} vs {t_have}"
+            )
+        variables["params"]["net"]["encoder"]["model"] = jax.tree.map(
+            jnp.asarray, imported["params"]
+        )
+        variables["batch_stats"]["net"]["encoder"]["model"] = jax.tree.map(
+            jnp.asarray, imported["batch_stats"]
+        )
+        print(f"[train] encoder warm-started from {opt.encoder_weights}")
+
     if opt.sigma_bias_init:
         # start the density positive (see --sigma_bias_init help); channel 3
         # of lin_out is the raw sigma (models/mlp.py output convention)

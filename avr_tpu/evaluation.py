@@ -36,10 +36,14 @@ def test_approximate(
     seed: int = 0,
     max_instances: Optional[int] = None,
     use_ema: bool = False,
+    num_source_views: int = 1,
 ) -> Dict[str, float]:
     """Mean PSNR/SSIM/(LPIPS)/loss over the test split (reference test.py:4-75).
 
     ``use_ema`` evaluates the state's EMA parameters (when maintained).
+    ``num_source_views > 1`` conditions on the first NS views (multi-view
+    pooling at the decoder's combine layer, reference default_mv.conf) and
+    draws the target from the remaining ones.
     """
     import dataclasses
 
@@ -69,12 +73,13 @@ def test_approximate(
         SB, NV, sl2, _ = images.shape
         sl = int(np.sqrt(sl2))
 
+        ns = min(num_source_views, NV)
         src_images, src_poses, focal, c = select_source_views(
-            rng, batch, 1, fixed_idx=[0]
+            rng, batch, ns, fixed_idx=list(range(ns))
         )
         cond = encode_fn(variables, src_images, src_poses, focal, c)
 
-        nv = int(rng.integers(1, NV)) if NV > 1 else 0
+        nv = int(rng.integers(ns, NV)) if NV > ns else 0
         intr = jnp.asarray(batch["intrinsics"][:, nv])
         c2w = jnp.asarray(batch["cam2world"][:, nv])
         out = render_full_image(
@@ -102,7 +107,10 @@ def test_approximate(
         "count": count,
     }
     if lpipss:
-        result["lpips"] = float(np.mean(lpipss))
+        # uncalibrated (random-VGG) archives report under a distinct key so
+        # the number can never be mistaken for published LPIPS
+        key = "lpips" if lpips.calibrated else "lpips_rand"
+        result[key] = float(np.mean(lpipss))
     print(
         "Test: psnr = {psnr:.5f}, ssim = {ssim:.5f}, loss = {loss:.5f}".format(**result)
         + (f", lpips = {result['lpips']:.5f}" if "lpips" in result else "")

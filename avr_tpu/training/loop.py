@@ -347,6 +347,7 @@ def fit(
                 psnr_v, ssim_v, val_loss = validate_scenes(
                     model, state, encode_fn, render_fn, val_dset, loss_params,
                     cfg.render_chunk, num_scenes=cfg.val_scenes,
+                    num_source_views=cfg.num_source_views,
                 )
                 if primary:
                     logger.log(
@@ -378,6 +379,7 @@ def fit(
 def validate_scenes(
     model, state: TrainState, encode_fn, render_fn, val_dset,
     loss_params: LossParams, chunk: int = 4096, num_scenes: int = 4,
+    num_source_views: int = 1,
 ):
     """Deterministic validation: mean PSNR/SSIM/loss over a fixed scene set.
 
@@ -392,7 +394,8 @@ def validate_scenes(
         if i >= num_scenes:
             break
         p, s, l = validate(
-            model, state, encode_fn, render_fn, batch, loss_params, chunk
+            model, state, encode_fn, render_fn, batch, loss_params, chunk,
+            num_source_views=num_source_views,
         )
         ps.append(p)
         ss.append(s)
@@ -403,16 +406,22 @@ def validate_scenes(
 def validate(
     model, state: TrainState, encode_fn, render_fn, val_batch,
     loss_params: LossParams, chunk: int = 4096, src_view: int = 0,
-    target_view: int = 1,
+    target_view: int = 1, num_source_views: int = 1,
 ):
-    """Full-image validation render of one held-out view (train.py:126-162)."""
+    """Full-image validation render of one held-out view (train.py:126-162).
+
+    ``num_source_views > 1`` conditions on views [src_view, src_view+1, ...]
+    (multi-view pooling) and targets the first view after them.
+    """
     images = val_batch["images"]
     SB, NV, sl2, _ = images.shape
     sl = int(np.sqrt(sl2))
     rng = np.random.default_rng(0)
+    ns = min(num_source_views, NV - 1)
     src_images, src_poses, focal, c = select_source_views(
-        rng, val_batch, 1, fixed_idx=[src_view]
+        rng, val_batch, ns, fixed_idx=[src_view + i for i in range(ns)]
     )
+    target_view = max(target_view, src_view + ns)
     # EMA params when maintained (the marched-surface renderers' val
     # quality is far less step-to-step noisy under the average)
     variables = state.eval_variables()

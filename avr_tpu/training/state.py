@@ -6,13 +6,69 @@ cleanly.  ``apply_fn``/``tx`` live outside the pytree (static).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import optax
 from flax import struct
 
-__all__ = ["TrainState", "create_train_state", "make_optimizer", "ema_update"]
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "ema_update",
+    "skip_nonfinite_by_norm",
+]
+
+
+class SkipByNormState(NamedTuple):
+    inner_state: Any
+    # cumulative skipped updates; named to match optax.apply_if_finite's
+    # counter so the train-step metrics surface either implementation
+    total_notfinite: jax.Array
+
+
+def skip_nonfinite_by_norm(
+    inner: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Skip the whole update when the gradient NORM is non-finite.
+
+    Cheaper equivalent of ``optax.apply_if_finite``: that wrapper runs an
+    elementwise ``isfinite`` + tree-reduce over every gradient leaf (a full
+    extra HBM pass over the gradient tree) and then selects between the
+    applied and zero update trees.  The global L2 norm is already computed
+    by every train step for the ``grad_norm`` metric, and XLA CSEs the two
+    identical reductions — so this guard's marginal cost is one scalar
+    ``isfinite`` plus a ``lax.cond``.  Any NaN/inf anywhere in the tree
+    makes the norm NaN/inf (sum of squares propagates both), so the skip
+    condition is identical; the one behavioural difference is deliberate:
+    there is NO ``max_consecutive_errors`` escape — a run bad enough to hit
+    it needs fixing, not a silently poisoned update (see ``make_optimizer``
+    notes).
+    """
+
+    def init(params):
+        import jax.numpy as jnp
+
+        return SkipByNormState(inner.init(params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None):
+        import jax.numpy as jnp
+
+        ok = jnp.isfinite(optax.global_norm(grads))
+
+        def do(_):
+            return inner.update(grads, state.inner_state, params)
+
+        def skip(_):
+            return jax.tree.map(jnp.zeros_like, grads), state.inner_state
+
+        updates, new_inner = jax.lax.cond(ok, do, skip, None)
+        return updates, SkipByNormState(
+            new_inner, state.total_notfinite + (1 - ok.astype(jnp.int32))
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(
@@ -21,6 +77,7 @@ def make_optimizer(
     schedule: str = "constant",
     total_steps: Optional[int] = None,
     warmup_steps: int = 500,
+    skip_impl: str = "norm",
 ) -> optax.GradientTransformation:
     """Adam with non-finite-update skipping (the production optimizer).
 
@@ -42,14 +99,15 @@ def make_optimizer(
     on late grad spikes (observed: val PSNR 23 -> 13 in the last 500 of
     10k steps), which decay prevents.
 
-    Threshold caveat: ``apply_if_finite(max_consecutive_errors=1000)``
-    applies the inner update *anyway* after 1000 consecutive non-finite
-    batches — optax's escape hatch against a permanently-wedged optimizer.
-    A healthy run skips isolated bad batches and the counter resets; a run
-    that reaches the threshold is already broken (1000 straight NaN
-    batches), and letting the poisoned update through makes the failure
-    loud instead of a silent permanent stall.  ``fit`` watches the ``notfinite``
-    metric and warns when it grows across consecutive logging intervals.
+    Two guard implementations (``skip_impl``): ``"norm"`` (default) gates
+    on ``isfinite(global_norm(grads))`` — the norm is already computed for
+    the ``grad_norm`` metric and XLA CSEs the reduction, so the guard is
+    nearly free, and it never force-applies a poisoned update.
+    ``"optax"`` is ``optax.apply_if_finite(max_consecutive_errors=1000)``,
+    which runs a per-leaf isfinite sweep and applies the inner update
+    *anyway* after 1000 consecutive non-finite batches (optax's escape
+    hatch).  Either way ``fit`` watches the ``notfinite`` metric and warns
+    when it grows across consecutive logging intervals.
     """
     if schedule == "cosine":
         if not total_steps:
@@ -63,7 +121,15 @@ def make_optimizer(
         raise ValueError(f"unknown lr schedule {schedule!r}")
     tx = optax.adam(lr)
     if skip_nonfinite:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=1000)
+        if skip_impl == "norm":
+            # default: gate on the (already-computed, CSE'd) gradient norm
+            # instead of optax's per-leaf isfinite sweep — same skip
+            # condition, one less full HBM pass over the gradient tree
+            tx = skip_nonfinite_by_norm(tx)
+        elif skip_impl == "optax":
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=1000)
+        else:
+            raise ValueError(f"unknown skip_impl {skip_impl!r}")
     return tx
 
 

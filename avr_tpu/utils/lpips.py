@@ -52,6 +52,11 @@ class LPIPS:
                 "to .npz and pass its path."
             )
         raw = dict(np.load(weights_path))
+        # scripts/make_lpips_weights.py --random marks its archives: the
+        # random-VGG distance is a useful *relative* perceptual score
+        # (LPIPS paper Table 5) but must never be read as published LPIPS —
+        # the evaluator reports it under 'lpips_rand' instead of 'lpips'.
+        self.calibrated = "_uncalibrated" not in raw
         self.shift = jnp.asarray(raw["scaling_layer.shift"]).reshape(1, 1, 1, 3)
         self.scale = jnp.asarray(raw["scaling_layer.scale"]).reshape(1, 1, 1, 3)
         self.convs: List[List[Dict[str, jnp.ndarray]]] = []

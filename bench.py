@@ -133,15 +133,20 @@ def main():
     # relay and bound the stash at points/N (VR's route into the stash
     # backward).
     chunks = int(os.environ.get("BENCH_RAY_CHUNKS", "1"))
+    # BENCH_RNG_MODE=per_ray: the sharding-invariant counter-hash sampler
+    # RNG (hashrng.py) instead of the per-step-key streams
+    rng_mode = os.environ.get("BENCH_RNG_MODE", "legacy")
     if os.environ.get("BENCH_STEP", "fused") == "calls":
         from avr_tpu.training import make_chunked_call_train_step
 
         step = make_chunked_call_train_step(
-            model, tx, LossParams(loss_mode=loss_mode), ray_chunks=chunks
+            model, tx, LossParams(loss_mode=loss_mode), ray_chunks=chunks,
+            rng_mode=rng_mode,
         )
     else:
         step = make_train_step(
-            model, tx, LossParams(loss_mode=loss_mode), ray_chunks=chunks
+            model, tx, LossParams(loss_mode=loss_mode), ray_chunks=chunks,
+            rng_mode=rng_mode,
         )
 
     key = jax.random.PRNGKey(0)

@@ -39,12 +39,19 @@ def main():
         dtype=jnp.bfloat16,
     )
     _, state0, args, rays = H.build("never")
+    # Host snapshot of the init: the train step donates its state, so
+    # re-wrapping state0's DEVICE buffers for the second variant dies with
+    # "Array has been deleted" (the round-3 crash).  device_get once,
+    # re-upload per variant.
+    params_host = jax.device_get(state0.params)
+    stats_host = jax.device_get(state0.batch_stats) if state0.batch_stats else {}
+    del state0
     for skip in (False, True):
         tx = make_optimizer(1e-4, skip_nonfinite=skip)
-        state = create_train_state(
-            {"params": state0.params,
-             **({"batch_stats": state0.batch_stats}
-                if state0.batch_stats else {})}, tx)
+        variables = {"params": jax.tree.map(jnp.asarray, params_host)}
+        if stats_host:
+            variables["batch_stats"] = jax.tree.map(jnp.asarray, stats_host)
+        state = create_train_state(variables, tx)
         step = make_train_step(model, tx, LossParams(loss_mode="both"))
         H.time_variant(f"safe{int(skip)}", step, state, args, rays)
 

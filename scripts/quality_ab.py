@@ -60,7 +60,11 @@ def main(argv=None):
                    help="comma-separated band-widening factors to sweep at "
                         "eval on the adaptive arms' best checkpoint, e.g. "
                         "'1.5,2,3'")
-    p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--lpips_weights", type=str, default="auto_rand",
+                   help="LPIPS archive path; 'auto_rand' generates the "
+                        "deterministic random-VGG archive (reported as "
+                        "lpips_rand — see scripts/make_lpips_weights.py); "
+                        "'' disables")
     p.add_argument("--train_views", type=int, default=12)
     opt = p.parse_args(argv)
 
@@ -84,6 +88,14 @@ def main(argv=None):
         write_synthetic_hdf5(val_h5, num_instances=8, num_views=6,
                              side=opt.side, seed=9)
 
+    if opt.lpips_weights == "auto_rand":
+        opt.lpips_weights = os.path.join(opt.workdir, "lpips_rand.npz")
+        if not os.path.exists(opt.lpips_weights):
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from make_lpips_weights import main as make_lpips
+
+            make_lpips(["--random", "--out", opt.lpips_weights])
+
     spe = max(opt.instances // opt.batch_size, 1)
     epochs = max((opt.steps + spe - 1) // spe, 1)
 
@@ -98,6 +110,7 @@ def main(argv=None):
             "--data", val_h5,
             "--sl", str(opt.side),
             "--norm_type", "group",
+            "--num_source_views", str(opt.num_source_views),
         ]
         if use_ema:
             args.append("--use_ema")

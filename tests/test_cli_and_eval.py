@@ -227,3 +227,50 @@ def test_eval_raymarcher_without_fine_image(workdir, conf_path):
         render_chunk=256,
     )
     assert np.isfinite(result["psnr"]) and np.isfinite(result["loss"])
+
+
+def test_eval_multi_view_conditioning(workdir, conf_path):
+    """test_approximate with num_source_views=2: conditions on the first
+    two views (cross-view pooling at the decoder's combine layer, reference
+    default_mv.conf) and draws targets from the remaining ones."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avr_tpu.config import parse_conf_string
+    from avr_tpu.data.dataset import SceneClassDataset
+    from avr_tpu.evaluation import test_approximate
+    from avr_tpu.models.pixelnerf import ModelConfig
+    from avr_tpu.models.wrapper import RadFieldRenderer
+    from avr_tpu.renderers.base import AdaptiveRendererConfig
+    from avr_tpu.training import LossParams, create_train_state
+
+    conf = parse_conf_string(TINY_CONF)
+    cfg = ModelConfig.from_conf(conf["model"])
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder, norm_type="group")
+    )
+    model = RadFieldRenderer(
+        model_cfg=cfg,
+        renderer_cfg=AdaptiveRendererConfig(
+            num_feature_channels=128, raymarch_steps=2, n_coarse=4
+        ),
+    )
+    images = jnp.zeros((1, 2, 32, 32, 3))
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+    variables = model.init(
+        jax.random.PRNGKey(0), images, poses, jnp.float32(35.0),
+        jnp.asarray([16.0, 16.0]), method=model.init_all,
+    )
+    state = create_train_state(variables, optax.adam(1e-4))
+    dset = SceneClassDataset(
+        os.path.join(workdir, "data", "cars_val.hdf5"), img_sidelength=32,
+        samples_per_instance=2,
+    )
+    result = test_approximate(
+        model, state, dset, LossParams(loss_mode="both"), max_instances=1,
+        render_chunk=256, num_source_views=2,
+    )
+    assert np.isfinite(result["psnr"]) and np.isfinite(result["loss"])

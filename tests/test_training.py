@@ -407,3 +407,32 @@ def test_make_optimizer_schedules():
         u, s = tx.update(g, s, params)
     # cosine end: lr/20
     np.testing.assert_allclose(float(-u["w"][0]), 5e-5, rtol=0.2)
+
+
+def test_skip_nonfinite_by_norm_matches_apply_if_finite():
+    """The grad-norm-gated guard (round-4 default) takes the same
+    skip/apply decisions as optax.apply_if_finite and produces identical
+    updates when applying."""
+    from avr_tpu.training.state import skip_nonfinite_by_norm
+
+    params = {"a": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([[3.0]])}
+    g_good = {"a": jnp.asarray([0.1, -0.2]), "b": jnp.asarray([[0.3]])}
+    g_nan = {"a": jnp.asarray([0.1, jnp.nan]), "b": jnp.asarray([[0.3]])}
+    g_inf = {"a": jnp.asarray([0.1, -0.2]), "b": jnp.asarray([[jnp.inf]])}
+
+    tx_norm = skip_nonfinite_by_norm(optax.adam(1e-2))
+    tx_ref = optax.apply_if_finite(optax.adam(1e-2), 1000)
+    s_n, s_r = tx_norm.init(params), tx_ref.init(params)
+
+    for g, should_skip in ((g_good, False), (g_nan, True), (g_inf, True),
+                           (g_good, False)):
+        u_n, s_n = tx_norm.update(g, s_n, params)
+        u_r, s_r = tx_ref.update(g, s_r, params)
+        for a, b in zip(jax.tree.leaves(u_n), jax.tree.leaves(u_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
+        if should_skip:
+            for leaf in jax.tree.leaves(u_n):
+                assert not np.any(np.asarray(leaf)), "skip must zero updates"
+    assert int(s_n.total_notfinite) == 2
+    assert int(s_r.total_notfinite) == 2
