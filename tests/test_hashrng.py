@@ -132,15 +132,20 @@ def test_step_impls_agree_with_randomness(rcfg):
                                      rng_mode="per_ray")
     sB2, mB = stepB(sB, *args, key)
 
+    # the loss equality IS the identical-stream assertion; the params
+    # comparison guards gross divergence only — grads differ by cross-shard
+    # fp32 reduction order (fusion choices even vary with process history),
+    # and Adam's rsqrt amplifies near-zero-grad elements (observed: one
+    # element in 36k at 8e-5 abs)
     l0, lA, lB = (float(m["loss"]) for m in (m0, mA, mB))
     np.testing.assert_allclose(lA, l0, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(lB, l0, rtol=1e-5, atol=1e-7)
     for a, b in zip(jax.tree.leaves(sA2.params), jax.tree.leaves(s0b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=1e-6)
+                                   rtol=5e-3, atol=2e-4)
     for a, b in zip(jax.tree.leaves(sB2.params), jax.tree.leaves(s0b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=1e-6)
+                                   rtol=5e-3, atol=2e-4)
 
 
 def test_ray_chunked_stream_equals_unchunked_per_ray():
