@@ -112,7 +112,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of the first training "
                         "steps into this directory (view with xprof/tensorboard)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--rng_mode", type=str, default="legacy",
+    p.add_argument("--rng_mode", type=str, default="per_ray",
                    choices=["legacy", "per_ray"],
                    help="sampler randomness: 'per_ray' hashes global ray "
                         "ids so any mesh shape / step impl / chunking "

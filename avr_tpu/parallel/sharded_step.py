@@ -44,7 +44,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     donate: bool = True,
     ema_decay: float = 0.999,
-    rng_mode: str = "legacy",
+    rng_mode: str = "per_ray",
 ) -> Callable:
     """Build the mesh-sharded jitted train step (same signature as the
     single-chip step from ``make_train_step``).
@@ -129,7 +129,7 @@ def make_shardmap_train_step(
     mesh: Mesh,
     donate: bool = True,
     ema_decay: float = 0.999,
-    rng_mode: str = "legacy",
+    rng_mode: str = "per_ray",
 ) -> Callable:
     """Build a ``shard_map``-based train step (same signature as
     ``make_train_step``).

@@ -79,7 +79,7 @@ class FitConfig:
     # sampler RNG: 'per_ray' (sharding-invariant counter hash on global ray
     # ids — identical stream for any mesh/step_impl/chunking) or 'legacy'
     # (per-step-key streams)
-    rng_mode: str = "legacy"
+    rng_mode: str = "per_ray"
     # save {run_name}_best whenever the val PSNR improves (needs save_root
     # and a val set) — final-checkpoint evaluation understates swingy runs
     save_best: bool = True

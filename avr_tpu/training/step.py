@@ -66,7 +66,7 @@ def make_train_step(
     donate: bool = True,
     ray_chunks: int = 1,
     ema_decay: float = 0.999,
-    rng_mode: str = "legacy",
+    rng_mode: str = "per_ray",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -231,7 +231,7 @@ def make_chunked_call_train_step(
     loss_params: LossParams,
     ray_chunks: int,
     ema_decay: float = 0.999,
-    rng_mode: str = "legacy",
+    rng_mode: str = "per_ray",
 ) -> Callable:
     """The ``ray_chunks`` update as N+2 *small* jitted programs.
 

@@ -135,7 +135,7 @@ def main():
     chunks = int(os.environ.get("BENCH_RAY_CHUNKS", "1"))
     # BENCH_RNG_MODE=per_ray: the sharding-invariant counter-hash sampler
     # RNG (hashrng.py) instead of the per-step-key streams
-    rng_mode = os.environ.get("BENCH_RNG_MODE", "legacy")
+    rng_mode = os.environ.get("BENCH_RNG_MODE", "per_ray")
     if os.environ.get("BENCH_STEP", "fused") == "calls":
         from avr_tpu.training import make_chunked_call_train_step
 

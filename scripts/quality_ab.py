@@ -146,6 +146,11 @@ def main(argv=None):
             # background-dominated data; AVR trains worse foggy).
             "--sigma_bias_init", "0.5" if name.startswith("VR") else "0.0",
             "--ema_decay", str(opt.ema_decay),
+            # pinned to the legacy streams so every arm in the round-3/4
+            # series stays bitwise comparable (the production default moved
+            # to per_ray, which draws a different — equally distributed —
+            # stream)
+            "--rng_mode", "legacy",
             "--seed", "0",
             "--data", train_h5,
             "--val_data", val_h5,
