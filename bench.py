@@ -132,11 +132,16 @@ def main():
     # monolithic scan program's pathological Mosaic compile through the
     # relay and bound the stash at points/N (VR's route into the stash
     # backward).
-    chunks = int(os.environ.get("BENCH_RAY_CHUNKS", "1"))
+    # VR defaults to the chunked-call step at 8 chunks: measured 26.1k vs
+    # the monolithic step's 25.3k rays/s (logs/r4_vr_chunks.log) AND it
+    # cold-compiles in ~2 min instead of the monolithic program's ~20 min
+    # through the relay — each of the N+2 sub-programs is normal-sized.
+    vr = RENDERER == "vr"
+    chunks = int(os.environ.get("BENCH_RAY_CHUNKS", "8" if vr else "1"))
     # BENCH_RNG_MODE=per_ray: the sharding-invariant counter-hash sampler
     # RNG (hashrng.py) instead of the per-step-key streams
     rng_mode = os.environ.get("BENCH_RNG_MODE", "per_ray")
-    if os.environ.get("BENCH_STEP", "fused") == "calls":
+    if os.environ.get("BENCH_STEP", "calls" if vr else "fused") == "calls":
         from avr_tpu.training import make_chunked_call_train_step
 
         step = make_chunked_call_train_step(
