@@ -56,7 +56,11 @@ def main():
     SIDE = int(os.environ.get("BENCH_SIDE", 128))
     R = int(os.environ.get("BENCH_RAYS", 4096))
     WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
-    ITERS = int(os.environ.get("BENCH_ITERS", 10))
+    # >=50 iters: through the TPU relay, 10-iter timings under-measure by
+    # ~4% of fixed-cost noise (219.6k at 10 iters vs 227.7k at 60 on the
+    # same build — PERF.md round 4; the A/B harnesses learned this in
+    # round 2)
+    ITERS = int(os.environ.get("BENCH_ITERS", 60))
     RENDERER = os.environ.get("BENCH_RENDERER", "avr")
 
     DTYPE = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
