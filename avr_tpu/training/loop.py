@@ -88,6 +88,10 @@ class FitConfig:
     # swing several dB on per-scene difficulty alone — which both masked
     # real instability and made best-val selection pick scene luck.
     val_scenes: int = 4
+    # minimum val-PSNR improvement (dB) before {run}_best is re-saved: a
+    # healthily-monotone run otherwise rewrites the full checkpoint every
+    # single eval (measured: the saves visibly slow long runs)
+    best_margin: float = 0.1
 
 
 def step_rng(seed: int, step: int) -> np.random.Generator:
@@ -354,7 +358,7 @@ def fit(
                         "val", epoch=epoch, step=step, loss=val_loss,
                         psnr=psnr_v, ssim=ssim_v,
                     )
-                if psnr_v > best_psnr:
+                if psnr_v > best_psnr + cfg.best_margin:
                     best_psnr = psnr_v
                     if cfg.save_root is not None and cfg.save_best:
                         path = save_checkpoint(
