@@ -114,6 +114,8 @@ def test_approximate(
     print(
         "Test: psnr = {psnr:.5f}, ssim = {ssim:.5f}, loss = {loss:.5f}".format(**result)
         + (f", lpips = {result['lpips']:.5f}" if "lpips" in result else "")
+        + (f", lpips_rand = {result['lpips_rand']:.3e}"
+           if "lpips_rand" in result else "")
     )
     return result
 
