@@ -61,6 +61,41 @@ def test_opaque_first_sample_dominates():
     np.testing.assert_allclose(np.asarray(dist)[0, 0, 0], float(z[0, 0, 1]), atol=1e-4)
 
 
+def test_closed_form_vjp_matches_autodiff(rng):
+    """The custom (closed-form) VJP must equal plain autodiff of the same chain.
+
+    Exercises every cotangent path (rgb, distance, weights) and every input
+    (z, sigma, radiance), both white_back settings, in float64 so any adjoint
+    derivation error shows up far above rounding noise.
+    """
+    from avr_tpu.ops.integrate import _volume_integral_cf, _volume_integral_impl
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        z, sig, rgb = _random_inputs(rng, SB=2, R=6, n=12)
+        z, sig, rgb = (jnp.asarray(a, dtype=jnp.float64) for a in (z, sig, rgb))
+        for wb in (True, False):
+
+            def scalarize(fn, wb=wb):
+                def f(z, s, r):
+                    out, dist, w = fn(z, s, r, wb, 1.8)
+                    # distinct mixing coefficients so no cotangent path cancels
+                    return (
+                        jnp.sum(out * jnp.cos(out))
+                        + 2.0 * jnp.sum(dist**2)
+                        + 0.5 * jnp.sum(jnp.sin(3.0 * w))
+                    )
+
+                return f
+
+            g_cf = jax.grad(scalarize(_volume_integral_cf), argnums=(0, 1, 2))(z, sig, rgb)
+            g_ad = jax.grad(scalarize(_volume_integral_impl), argnums=(0, 1, 2))(z, sig, rgb)
+            for a, b in zip(g_cf, g_ad):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_weights_sum_below_one_and_grads_finite(rng):
     z, sig, rgb = _random_inputs(rng)
 
