@@ -123,7 +123,11 @@ def _cf_bwd(white_back, infinity, res, cots):
     # G_i w_i (each later weight sees alpha_k through its transmittance).
     GW = G * weights
     suffix = jnp.flip(jnp.cumsum(jnp.flip(GW, axis=-2), axis=-2), axis=-2) - GW
-    u = (1.0 - alpha) + _EPS
+    # u = 1 - alpha + eps, written as expn + eps: the subtraction form
+    # reassociates under --xla_allow_excess_precision to (1 + eps) - alpha
+    # == exactly 0 at saturated lanes (the round-2 PERF gotcha), making
+    # suffix/u a 0/0 NaN.  expn == 1 - alpha exactly, with no subtraction.
+    u = expn + _EPS
     dalpha = G * trans - suffix / u  # (SB, R, n, 1)
 
     # alpha = 1 - exp(-sigma * d):  d(alpha)/d(sigma) = expn * d,

@@ -96,6 +96,31 @@ def test_closed_form_vjp_matches_autodiff(rng):
         jax.config.update("jax_enable_x64", False)
 
 
+def test_closed_form_vjp_finite_at_saturated_alpha_under_jit(rng):
+    """Saturated alpha (sigma*delta large -> alpha == 1.0 in f32) must not NaN.
+
+    Under jit, XLA's excess-precision reassociation turns ``(1 - alpha) + eps``
+    into ``(1 + eps) - alpha`` == exactly 0 at saturated lanes, so a backward
+    that divides by that expression hits 0/0.  Caught live: the VolumeRenderer
+    CLI dryrun produced grad_norm=nan.  Must run JITTED — eagerly the
+    reassociation never happens and the bug is invisible.
+    """
+    z, sig, rgb = _random_inputs(rng, SB=1, R=4, n=16)
+    sig[..., 4:8, :] = 1e6  # saturate alpha mid-ray in f32
+
+    @jax.jit
+    def g(z, s, r):
+        def loss(z, s, r):
+            out, dist, w = volume_integral(z, s, r, white_back=True)
+            return jnp.sum(out) + jnp.sum(dist) + jnp.sum(w)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(z, s, r)
+
+    grads = g(jnp.asarray(z), jnp.asarray(sig), jnp.asarray(rgb))
+    for a in grads:
+        assert np.all(np.isfinite(np.asarray(a))), "NaN/inf grad at saturated alpha"
+
+
 def test_weights_sum_below_one_and_grads_finite(rng):
     z, sig, rgb = _random_inputs(rng)
 
