@@ -105,12 +105,12 @@ def _cf_fwd(z_vals, sigmas, radiances, white_back, infinity):
     distance = jnp.sum(weights * zz_vals[..., None], axis=-2)
     if white_back:
         rgb = rgb + (1.0 - jnp.sum(weights, axis=-2))
-    res = (sigmas, radiances, dists, zz_vals, expn, alpha, trans, weights)
+    res = (sigmas, radiances, dists, zz_vals, expn, trans, weights)
     return (rgb, distance, weights), res
 
 
 def _cf_bwd(white_back, infinity, res, cots):
-    sigmas, radiances, dists, zz_vals, expn, alpha, trans, weights = res
+    sigmas, radiances, dists, zz_vals, expn, trans, weights = res
     g_rgb, g_dist, g_w = cots  # (SB,R,3), (SB,R,1), (SB,R,n,1)
 
     # G_i = dL/dw_i, collecting every use of the weights downstream.
@@ -172,6 +172,12 @@ def volume_integral(
     The backward pass uses the closed-form adjoint (module docstring) unless
     ``AVR_INTEGRAL_VJP=ad`` — read at trace time.
     """
-    if os.environ.get("AVR_INTEGRAL_VJP", "closed") == "ad":
+    vjp = os.environ.get("AVR_INTEGRAL_VJP", "closed")
+    if vjp == "ad":
         return _volume_integral_impl(z_vals, sigmas, radiances, white_back, infinity)
+    if vjp != "closed":
+        raise ValueError(
+            f"AVR_INTEGRAL_VJP={vjp!r}: expected 'closed' (default) or 'ad' — "
+            "refusing to silently run the default path on a typo"
+        )
     return _volume_integral_cf(z_vals, sigmas, radiances, white_back, infinity)

@@ -175,6 +175,43 @@ def main():
 
     rays_per_s = SB * R * ITERS / dt
 
+    # Whole-step MFU (verdict r4 task 8): model flops from the HLO flop
+    # count of an XLA-only twin of the same step (gather_impl=xla,
+    # fused_mlp/march/integral off), lowered but never compiled.  The twin
+    # counts the *algorithm's* flops — XLA counts its gathers as ~0, so
+    # none of the Pallas one-hot-contraction implementation flops are
+    # claimed as useful work; the unfused autodiff backward has the same
+    # minimal-flop dgrad+wgrad structure as the stash kernel.  Peak is the
+    # chip's bf16 peak (v5e ~197 TFLOP/s, PERF.md roofline); override with
+    # BENCH_PEAK_TFLOPS for other chips.  BENCH_MFU=0 skips the analysis.
+    mfu = None
+    step_tflops = None
+    if os.environ.get("BENCH_MFU", "1") != "0":
+        try:
+            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+            twin_cfg = dataclasses.replace(
+                model_cfg, gather_impl="xla", fused_mlp="never"
+            )
+            twin = RadFieldRenderer(
+                model_cfg=twin_cfg,
+                renderer_cfg=renderer_cfg,
+                dtype=DTYPE,
+                fused_march="never",
+                fused_integral="never",
+            )
+            tstep = make_train_step(
+                twin, tx, LossParams(loss_mode=loss_mode), donate=False,
+                rng_mode=rng_mode,
+            )
+            ca = tstep.lower(
+                state, images, poses, focal, c, model_input, gt, key
+            ).cost_analysis()
+            if ca and ca.get("flops"):
+                step_tflops = float(ca["flops"]) / 1e12
+                mfu = step_tflops / (dt / ITERS) / peak
+        except Exception as e:  # MFU is reporting, never a bench failure
+            print(f"# mfu analysis skipped: {e}", file=sys.stderr)
+
     names = {
         "avr": "adaptive_render_train_rays_per_sec_per_chip",
         "vr": "volume_render_train_rays_per_sec_per_chip",
@@ -196,16 +233,16 @@ def main():
         except Exception:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(vs, 4),
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs, 4),
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+        out["step_tflops"] = round(step_tflops, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

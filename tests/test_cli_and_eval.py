@@ -274,3 +274,94 @@ def test_eval_multi_view_conditioning(workdir, conf_path):
         render_chunk=256, num_source_views=2,
     )
     assert np.isfinite(result["psnr"]) and np.isfinite(result["loss"])
+
+
+def test_lpips_torch_conversion_path_end_to_end(trained, conf_path, tmp_path):
+    """The REAL-weights LPIPS recipe, end to end (VERDICT r4 task 9).
+
+    The production path for publishable LPIPS is: torch.save an
+    ``lpips.LPIPS(net='vgg')`` state dict offline, convert it with
+    ``make_lpips_weights.py --from_torch``, and eval with the archive.
+    Zero egress means no pretrained values, but the *path* is fully
+    checkable: this builds a state dict with the exact key layout and
+    full VGG-16 channel plan the lpips package emits (including the
+    duplicate ``lins.N...`` aliases newer lpips versions add), round-trips
+    it through the converter, and drives the eval CLI with the result.
+    Asserts: conversion is value-exact, the evaluator reports the metric
+    under the calibrated ``lpips`` key (not ``lpips_rand``), and the
+    number is finite and symmetric-zero-consistent.
+    """
+    import sys
+
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_lpips_weights import _CHANS, _VGG_SLICES, main as make_lpips
+
+    # a state dict shaped exactly like lpips.LPIPS(net='vgg').state_dict()
+    rng = np.random.default_rng(3)
+    sd = {
+        "scaling_layer.shift": torch.tensor(
+            [-0.030, -0.088, -0.188]
+        ).reshape(1, 3, 1, 1),
+        "scaling_layer.scale": torch.tensor(
+            [0.458, 0.448, 0.450]
+        ).reshape(1, 3, 1, 1),
+    }
+    cin = 3
+    for s, layer_ids in enumerate(_VGG_SLICES):
+        for li, lid in enumerate(layer_ids):
+            cout = _CHANS[s][li]
+            w = rng.normal(0.0, np.sqrt(2.0 / (cin * 9)), (cout, cin, 3, 3))
+            sd[f"net.slice{s + 1}.{lid}.weight"] = torch.tensor(
+                w, dtype=torch.float32
+            )
+            sd[f"net.slice{s + 1}.{lid}.bias"] = torch.zeros(cout)
+            cin = cout
+        lin = torch.tensor(
+            np.abs(rng.normal(size=(1, cin, 1, 1))), dtype=torch.float32
+        )
+        sd[f"lin{s}.model.1.weight"] = lin
+        # lpips >= 0.1.4 exposes the same heads twice (lins ModuleList)
+        sd[f"lins.{s}.model.1.weight"] = lin
+
+    pt_path = str(tmp_path / "lpips_vgg.pt")
+    npz_path = str(tmp_path / "lpips_vgg.npz")
+    torch.save(sd, pt_path)
+    make_lpips(["--from_torch", pt_path, "--out", npz_path])
+
+    # conversion is value-exact and keeps every key
+    out = dict(np.load(npz_path))
+    assert set(out) == set(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(out[k], v.numpy())
+    assert "_uncalibrated" not in out  # converted == calibrated
+
+    # the archive drives the full eval CLI and lands under 'lpips'
+    workdir, _ = trained
+    from avr_tpu.cli.test import main as test_main
+
+    result = test_main(
+        [
+            "--root_dir", workdir,
+            "--renderer", "AVR_citest",
+            "--epoch", "2",
+            "--loss_mode", "both",
+            "--sl", "32",
+            "--norm_type", "group",
+            "--conf", conf_path,
+            "--data", os.path.join(workdir, "data", "cars_val.hdf5"),
+            "--lpips_weights", npz_path,
+        ]
+    )
+    assert "lpips" in result and "lpips_rand" not in result
+    assert np.isfinite(result["lpips"]) and result["lpips"] >= 0
+
+    # sanity on the loaded metric itself: identical images -> 0
+    from avr_tpu.utils.lpips import LPIPS
+
+    metric = LPIPS(npz_path)
+    img = rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32)
+    assert float(metric(img, img)[0]) < 1e-6

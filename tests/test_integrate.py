@@ -121,6 +121,55 @@ def test_closed_form_vjp_finite_at_saturated_alpha_under_jit(rng):
         assert np.all(np.isfinite(np.asarray(a))), "NaN/inf grad at saturated alpha"
 
 
+def test_closed_form_vjp_finite_when_expn_underflows_exactly(rng):
+    """Divisor path pinned WITHOUT relying on XLA reassociation (advisor r4).
+
+    The jitted test above only exercises the 0/0 regression if the backend's
+    excess-precision reassociation actually fires.  Here ``sigma * delta`` is
+    large enough that ``expn = exp(-sigma*delta)`` underflows to exactly 0.0
+    in f32 *eagerly*, so the backward's ``suffix / (expn + eps)`` divisor hits
+    its smallest value on every backend and mode.  Asserts the saturation
+    premise itself, then finiteness of the closed-form grads both eager and
+    jitted.
+    """
+    from avr_tpu.ops.integrate import _volume_integral_cf
+
+    z, sig, rgb = _random_inputs(rng, SB=1, R=4, n=16)
+    sig[..., 4:8, :] = 1e6
+    z, sig, rgb = jnp.asarray(z), jnp.asarray(sig), jnp.asarray(rgb)
+
+    # premise: alpha saturates to exactly 1.0 (expn exactly 0) on those lanes
+    d = jnp.concatenate(
+        [z[..., 1:] - z[..., :-1], jnp.full_like(z[..., :1], 1e10)], -1
+    )
+    expn = jnp.exp(-sig * d[..., None])
+    assert np.all(np.asarray(expn)[..., 4:8, :] == 0.0)
+
+    def loss(z, s, r):
+        out, dist, w = _volume_integral_cf(z, s, r, True, 1.8)
+        return jnp.sum(out) + jnp.sum(dist) + jnp.sum(w)
+
+    for g_fn in (jax.grad(loss, argnums=(0, 1, 2)),
+                 jax.jit(jax.grad(loss, argnums=(0, 1, 2)))):
+        for a in g_fn(z, sig, rgb):
+            assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_integral_vjp_env_gate_rejects_typos(monkeypatch):
+    """AVR_INTEGRAL_VJP must accept only 'closed'/'ad' (advisor r4: a typo
+    like 'autodiff' silently selected the default path)."""
+    import pytest
+
+    z = jnp.linspace(0.8, 1.8, 8)[None, None, :]
+    sig = jnp.ones((1, 1, 8, 1))
+    rgb = jnp.ones((1, 1, 8, 3)) * 0.5
+    monkeypatch.setenv("AVR_INTEGRAL_VJP", "autodiff")
+    with pytest.raises(ValueError, match="AVR_INTEGRAL_VJP"):
+        volume_integral(z, sig, rgb)
+    monkeypatch.setenv("AVR_INTEGRAL_VJP", "ad")
+    volume_integral(z, sig, rgb)  # valid fallback still works
+
+
 def test_weights_sum_below_one_and_grads_finite(rng):
     z, sig, rgb = _random_inputs(rng)
 
