@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="Initialize the multi-host runtime "
                         "(jax.distributed) and shard instances per host")
+    p.add_argument("--device_data", action="store_true",
+                   help="upload the whole scene set to HBM once and draw "
+                        "batches inside the jitted step (zero per-step "
+                        "host/upload cost; single-chip, uniform sampling)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="Host input batches assembled ahead on a worker "
                         "thread; 0 = synchronous")
@@ -296,6 +300,7 @@ def main(argv=None):
         run_name=opt.renderer, seed=opt.seed, step_impl=opt.step_impl,
         prefetch=opt.prefetch, ema_decay=opt.ema_decay,
         save_best=not opt.no_save_best, rng_mode=opt.rng_mode,
+        device_data=opt.device_data,
     )
     loss_params = LossParams(
         loss_mode=opt.loss_mode, depth_regularization=opt.depth_regularization,

@@ -53,6 +53,7 @@ conditioning (``use_encoder``).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -141,8 +142,9 @@ def _cell_fwd(v, h, c, wih_ref, whh_ref, b_ref, cd):
     gg = jnp.tanh(gates[:, 2 * Hh : 3 * Hh])
     og = jax.nn.sigmoid(gates[:, 3 * Hh : 4 * Hh])
     c_new = fg * c + ig * gg
-    h_new = og * jnp.tanh(c_new)
-    return h_new, c_new, (ig, fg, gg, og)
+    tanh_c = jnp.tanh(c_new)
+    h_new = og * tanh_c
+    return h_new, c_new, (ig, fg, gg, og, tanh_c)
 
 
 def _xyz(a):
@@ -153,18 +155,21 @@ def _cat3(x, y, z):
     return jnp.concatenate([x[:, None], y[:, None], z[:, None]], axis=1)
 
 
-def _gather_view(proj_ref, feat_ref, row, view, cx, cy, cz, *, H, W, blk):
+def _gather_view(proj_ref, feat_ref, row, view, cx, cy, cz, *, H, W, blk,
+                 wr):
     """One view's windowed bilinear gather at the current march points.
 
     Windowed gather (see gather.py): the block's own tap rows pick
     1..H/wr dynamically-positioned wr-row windows; ray-sorted blocks
     (wrapper sorts rays by initial source-view row) stay coherent
-    through the march, so this usually runs one window.
+    through the march, so this usually runs one window.  ``wr`` (window
+    rows) trades one-hot contraction width against window count: at
+    bench coherence 8 rows halves the (blk, wr*W) sel/P work vs 16.
     """
     HW = H * W
     gx, gy = _project(proj_ref, row, view * 16, cx, cy, cz)
     idx, w, _, _ = _taps(gx, gy, H, W)
-    wr = min(16, H)
+    wr = min(wr, H)
     y0i = idx[0][:, 0] // W
     y1i = idx[2][:, 0] // W
     lo = jnp.min(y0i)
@@ -200,7 +205,7 @@ def _gather_view(proj_ref, feat_ref, row, view, cx, cy, cz, *, H, W, blk):
 def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
                 b_ref, wout_ref, bout_ref,
                 out_ref, vst_ref, aux_ref,
-                *, steps, H, W, hidden, ns, eps, cd):
+                *, steps, H, W, hidden, ns, eps, cd, wr, stash_gates):
     cx, cy, cz = _xyz(coords_ref[...])
     rx, ry, rz = _xyz(rds_ref[...])
     blk = cx.shape[0]
@@ -208,7 +213,13 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
     c = jnp.zeros((blk, hidden), jnp.float32)
     active = jnp.ones((blk,), jnp.float32)
 
-    pad = jnp.zeros((blk, 128 - 2 * hidden - 4), jnp.float32)
+    # gate stash layout is 8-lane aligned (Mosaic lane-slices at offsets
+    # that are multiples of 8 avoid dynamic lane-shuffle penalties):
+    # [h | c | cx cy cz act | pad-to-8 | ig fg gg og tanh_c | s | pad]
+    g0 = _stash_g0(hidden)
+    n_state = (g0 + 5 * hidden + 1) if stash_gates else (2 * hidden + 4)
+    pad = jnp.zeros((blk, 128 - n_state), jnp.float32)
+    pad_g = jnp.zeros((blk, g0 - (2 * hidden + 4)), jnp.float32)
     row = pl.program_id(0)  # hoisted: program_id can't bind inside fori_loop
 
     # fori_loop (not an unrolled Python loop): one step's body is large —
@@ -216,33 +227,47 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
     # (the steps are data-dependent, nothing pipelines across them).
     def body(t, carry):
         cx, cy, cz, h, c, active = carry
-        # per-step carries packed into one lane-aligned (blk, 128) stash row:
-        # [h | c | cx cy cz | active | 0-pad] (Mosaic requires 128-lane-
-        # aligned stores)
-        aux_ref[pl.ds(t, 1)] = jnp.concatenate(
-            [h, c, cx[:, None], cy[:, None], cz[:, None], active[:, None],
-             pad], axis=1
-        )[None]
+        if not stash_gates:
+            # per-step carries packed into one lane-aligned (blk, 128)
+            # stash row: [h | c | cx cy cz | active | 0-pad] (Mosaic
+            # requires 128-lane-aligned stores)
+            aux_ref[pl.ds(t, 1)] = jnp.concatenate(
+                [h, c, cx[:, None], cy[:, None], cz[:, None],
+                 active[:, None], pad], axis=1
+            )[None]
 
         def run_step(op):
             cx, cy, cz, h, c, active = op
             # NS > 1: per-view gathers pooled by mean (matches the scan
             # path's jnp.mean over the NS axis, raymarch.py)
             v = _gather_view(proj_ref, feat_ref, row, 0, cx, cy, cz,
-                             H=H, W=W, blk=blk)
+                             H=H, W=W, blk=blk, wr=wr)
             for view in range(1, ns):
                 v = v + _gather_view(proj_ref, feat_ref, row, view,
-                                     cx, cy, cz, H=H, W=W, blk=blk)
+                                     cx, cy, cz, H=H, W=W, blk=blk, wr=wr)
             if ns > 1:
                 v = v * (1.0 / ns)
             vst_ref[pl.ds(t, 1)] = v.astype(vst_ref.dtype)[None]
-            h2, c2, _ = _cell_fwd(v, h, c, wih_ref, whh_ref, b_ref, cd)
+            h2, c2, (ig, fg, gg, og, tanh_c) = _cell_fwd(
+                v, h, c, wih_ref, whh_ref, b_ref, cd
+            )
             s = (
                 jnp.dot(h2.astype(cd), wout_ref[...],
                         preferred_element_type=jnp.float32,
                         precision=_mxu_precision(cd))
                 + bout_ref[...].astype(jnp.float32)
             )[:, 0]
+            if stash_gates:
+                # the (blk, 128) stash row has 92 unused lanes at hidden=16
+                # — store the gates, tanh(c_t) and raw step there so the
+                # backward never replays the cell (saves the v@wih matmul
+                # and ~5 transcendental passes per step): [h_prev | c_prev
+                # | cx cy cz | active_in | ig fg gg og | tanh_c | s | pad]
+                aux_ref[pl.ds(t, 1)] = jnp.concatenate(
+                    [h, c, cx[:, None], cy[:, None], cz[:, None],
+                     active[:, None], pad_g, ig, fg, gg, og, tanh_c,
+                     s[:, None], pad], axis=1
+                )[None]
             if eps > 0.0:
                 # per-ray early termination (raymarch.py:81-85): frozen
                 # rays keep marching the LSTM but step zero; freezing is
@@ -252,12 +277,22 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
                 active = active * (1.0 - converged)
             return (cx + rx * s, cy + ry * s, cz + rz * s, h2, c2, active)
 
+        def skip_step(op):
+            if stash_gates:
+                # keep the backward's active lane valid for skipped steps
+                # (everything else in the row is dead — bwd skips on
+                # active == 0)
+                aux_ref[pl.ds(t, 1)] = jnp.zeros(
+                    (1, blk, 128), jnp.float32
+                )
+            return op
+
         if eps > 0.0:
             # whole-block skip: once every ray in this block has converged
             # the remaining steps cost nothing (gather + cell both skipped;
             # exact — frozen lanes' h/c never reach the outputs)
             return jax.lax.cond(
-                jnp.max(active) > 0.0, run_step, lambda op: op, carry
+                jnp.max(active) > 0.0, run_step, skip_step, carry
             )
         return run_step(carry)
 
@@ -268,14 +303,14 @@ def _fwd_kernel(proj_ref, coords_ref, rds_ref, feat_ref, wih_ref, whh_ref,
 
 
 def _gather_bwd_view(proj_ref, feat_ref, dfeat_ref, b_idx, view, dvc,
-                     cx, cy, cz, *, H, W, blk, cd):
+                     cx, cy, cz, *, H, W, blk, cd, wr):
     """One view's gather backward: accumulate d-latent into the view's
     slice and return the world-coordinate cotangents (dcx, dcy, dcz)."""
     HW = H * W
     base = view * 16
     gx, gy = _project(proj_ref, b_idx, base, cx, cy, cz)
     idx, w, wx, wy = _taps(gx, gy, H, W)
-    wr = min(16, H)
+    wr = min(wr, H)
     y0i = idx[0][:, 0] // W
     y1i = idx[2][:, 0] // W
     lo = jnp.min(y0i)
@@ -348,7 +383,8 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
                 g_ref, vst_ref, aux_ref,
                 dcoords_ref, drds_ref, dfeat_ref, dwih_ref, dwhh_ref, db_ref,
                 dwout_ref, dbout_ref,
-                *, steps, H, W, hidden, ns, eps, grad_clamp, cd):
+                *, steps, H, W, hidden, ns, eps, grad_clamp, cd, wr,
+                stash_gates):
     b_idx = pl.program_id(0)
     i_idx = pl.program_id(1)
 
@@ -405,16 +441,27 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
         cy = aux[:, 2 * hidden + 1]
         cz = aux[:, 2 * hidden + 2]
 
-        # replay the cell to recover gates, c_t, h_t, s_t
-        h_t, c_t, (ig, fg, gg, og) = _cell_fwd(
-            v, h_prev, c_prev, wih_ref, whh_ref, b_ref, cd
-        )
-        s = (
-            jnp.dot(h_t.astype(cd), wout_ref[...],
-                    preferred_element_type=jnp.float32,
-                    precision=_mxu_precision(cd))
-            + bout_ref[...].astype(jnp.float32)
-        )[:, 0]
+        if stash_gates:
+            # gates/tanh_c/s were stashed by the forward — no cell replay
+            g0 = _stash_g0(hidden)
+            ig = aux[:, g0 : g0 + hidden]
+            fg = aux[:, g0 + hidden : g0 + 2 * hidden]
+            gg = aux[:, g0 + 2 * hidden : g0 + 3 * hidden]
+            og = aux[:, g0 + 3 * hidden : g0 + 4 * hidden]
+            tanh_c = aux[:, g0 + 4 * hidden : g0 + 5 * hidden]
+            s = aux[:, g0 + 5 * hidden]
+            h_t = og * tanh_c
+        else:
+            # replay the cell to recover gates, c_t, h_t, s_t
+            h_t, c_t, (ig, fg, gg, og, tanh_c) = _cell_fwd(
+                v, h_prev, c_prev, wih_ref, whh_ref, b_ref, cd
+            )
+            s = (
+                jnp.dot(h_t.astype(cd), wout_ref[...],
+                        preferred_element_type=jnp.float32,
+                        precision=_mxu_precision(cd))
+                + bout_ref[...].astype(jnp.float32)
+            )[:, 0]
 
         # coords_{t+1} = coords_t + rds * s_eff, with s_eff = s * active
         # under early stopping (active is non-differentiable, so d(s) =
@@ -435,7 +482,6 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
         gh_c = jnp.clip(gh_total, -grad_clamp, grad_clamp)
 
         # LSTM cell backward
-        tanh_c = jnp.tanh(c_t)
         gc_t = gcell + gh_c * og * (1.0 - tanh_c * tanh_c)
         di = gc_t * gg * ig * (1.0 - ig)
         df = gc_t * c_prev * fg * (1.0 - fg)
@@ -461,7 +507,7 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
         for view in range(ns):
             dcx, dcy, dcz = _gather_bwd_view(
                 proj_ref, feat_ref, dfeat_ref, b_idx, view, dvc,
-                cx, cy, cz, H=H, W=W, blk=blk, cd=cd,
+                cx, cy, cz, H=H, W=W, blk=blk, cd=cd, wr=wr,
             )
             gcx = gcx + dcx
             gcy = gcy + dcy
@@ -475,6 +521,11 @@ def _bwd_kernel(proj_ref, rds_ref, feat_ref, wih_ref, whh_ref, b_ref,
     drds_ref[...] = _cat3(grx, gry, grz)
 
 
+def _stash_g0(hidden: int) -> int:
+    """First lane of the gate block in the stash row (8-lane aligned)."""
+    return (2 * hidden + 4 + 7) // 8 * 8
+
+
 def _pad_to(n: int, blk: int) -> int:
     return (n + blk - 1) // blk * blk
 
@@ -486,7 +537,8 @@ def _pad_pts(a, n_pad):
 
 @functools.lru_cache(maxsize=None)
 def _make_march(steps: int, H: int, W: int, C: int, hidden: int, ns: int,
-                eps: float, grad_clamp: float, compute_dtype, interpret: bool):
+                eps: float, grad_clamp: float, compute_dtype, interpret: bool,
+                wr: int, stash_gates: bool):
     cd = compute_dtype
     HW = ns * H * W  # all views' feature maps stacked along the row axis
 
@@ -508,6 +560,7 @@ def _make_march(steps: int, H: int, W: int, C: int, hidden: int, ns: int,
                 whh_ref, b_ref, wo_ref, bo_ref, out_ref.at[0], vst.at[0],
                 aux.at[0],
                 steps=steps, H=H, W=W, hidden=hidden, ns=ns, eps=eps, cd=cd,
+                wr=wr, stash_gates=stash_gates,
             ),
             grid=(B, Np // _BLK),
             in_specs=[
@@ -576,7 +629,8 @@ def _make_march(steps: int, H: int, W: int, C: int, hidden: int, ns: int,
                 dc_ref.at[0], dr_ref.at[0], df_ref.at[0],
                 dwih_ref, dwhh_ref, db_ref, dwo_ref, dbo_ref,
                 steps=steps, H=H, W=W, hidden=hidden, ns=ns, eps=eps,
-                grad_clamp=grad_clamp, cd=cd,
+                grad_clamp=grad_clamp, cd=cd, wr=wr,
+                stash_gates=stash_gates,
             ),
             grid=(B, Np // _BLK),
             in_specs=[
@@ -662,6 +716,7 @@ def fused_lstm_march(
     early_stop_eps: float = 0.0,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    window_rows: int | None = None,
 ) -> jnp.ndarray:
     """Run the fused LSTM ray-march; returns final world coords (SB, R, 3).
 
@@ -669,8 +724,26 @@ def fused_lstm_march(
     bilinear gathers (matching the scan path's NS pooling, raymarch.py).
     ``early_stop_eps > 0`` freezes rays whose |step| drops below the
     threshold (scan-path semantics) and skips a block's remaining steps
-    entirely once every one of its rays has frozen.
+    entirely once every one of its rays has frozen.  ``window_rows``
+    sets the gather window height (default 8, env ``AVR_MARCH_WR``):
+    smaller windows shrink the per-window one-hot contractions but can
+    run more windows per block if the block's rays spread further.
     """
+    if window_rows is None:
+        # device-trace truth (round 5, /tmp/trace_fi_wr{16,8,4}): 16 rows
+        # wins — the march's ray blocks spread past 8 source rows mid-march,
+        # so halving the window doubles the window count instead of the
+        # work.  Wall-clock A/Bs through the relay said otherwise (+4% for
+        # 8) — that was the documented ~10% relay noise; trust traces.
+        window_rows = int(os.environ.get("AVR_MARCH_WR", "16"))
+    hidden_ws = w_hh.shape[0]
+    # gates + tanh_c + s fit in the stash row's free lanes only for small
+    # cells; larger cells fall back to cell replay.  AVR_MARCH_STASH=0
+    # forces replay everywhere (A/B lever).
+    stash_gates = (
+        _stash_g0(hidden_ws) + 5 * hidden_ws + 1 <= 128
+        and os.environ.get("AVR_MARCH_STASH", "1") != "0"
+    )
     if feat.ndim == 4:
         feat = feat[:, None]
     if proj.ndim == 2:
@@ -686,6 +759,7 @@ def fused_lstm_march(
     fn = _make_march(
         steps, Hh, Ww, C, hidden, ns, float(early_stop_eps),
         float(grad_clamp), jnp.dtype(compute_dtype).type, interpret,
+        int(window_rows), stash_gates,
     )
     return fn(proj.reshape(B, ns * 16), coords0.astype(jnp.float32),
               rds.astype(jnp.float32), feat, w_ih, w_hh, bias, w_out, b_out)

@@ -92,6 +92,12 @@ class FitConfig:
     # healthily-monotone run otherwise rewrites the full checkpoint every
     # single eval (measured: the saves visibly slow long runs)
     best_margin: float = 0.1
+    # device-resident dataset: upload all scenes to HBM once and draw each
+    # step's batch inside the jitted step (avr_tpu.data.device) — removes
+    # the ~40-60 ms/step host-assembly + upload overhead measured through
+    # the TPU relay at production ray batches (round 5).  Single-chip,
+    # uniform ray sampling only (no mesh, no bbox).
+    device_data: bool = False
 
 
 def step_rng(seed: int, step: int) -> np.random.Generator:
@@ -236,6 +242,11 @@ def fit(
             make_sharded_train_step, make_shardmap_train_step,
         )
 
+        if cfg.device_data:
+            raise ValueError(
+                "device_data is single-chip only for now (the sharded "
+                "step samples per-shard batches host-side)"
+            )
         data_dim = mesh.shape["data"]
         rays_dim = mesh.shape["rays"]
         if cfg.batch_size % data_dim:
@@ -256,6 +267,24 @@ def fit(
         train_step = maker(model, tx, loss_params, mesh,
                            ema_decay=cfg.ema_decay, rng_mode=cfg.rng_mode)
         state = jax.device_put(state, replicated(mesh))
+    elif cfg.device_data:
+        if cfg.with_bbox:
+            raise ValueError("device_data supports uniform ray sampling "
+                             "only (bbox sampling is host-side)")
+        from avr_tpu.data.device import (
+            build_device_dataset, make_device_sampler,
+        )
+
+        dd = build_device_dataset(train_dset)
+        sampler = make_device_sampler(
+            dd, cfg.batch_size, cfg.ray_batch_size,
+            num_source_views=cfg.num_source_views,
+        )
+        train_step = make_train_step(model, tx, loss_params,
+                                     ema_decay=cfg.ema_decay,
+                                     rng_mode=cfg.rng_mode,
+                                     sampler=sampler,
+                                     sampler_key=base_key)
     else:
         train_step = make_train_step(model, tx, loss_params,
                                      ema_decay=cfg.ema_decay,
@@ -286,7 +315,14 @@ def fit(
         skip = step - epoch_start  # mid-epoch resume skip (0 normally)
         losses = []
 
-        if cfg.prefetch > 0:
+        if cfg.device_data and mesh is None:
+            # batches are drawn on device inside the step — the stream is
+            # just the global-step counter
+            stream = (
+                (gs, None)
+                for gs in range(epoch_start + skip, epoch_start + spe)
+            )
+        elif cfg.prefetch > 0:
             pipe = PrefetchPipeline(
                 train_dset, cfg.batch_size, cfg.ray_batch_size,
                 num_source_views=cfg.num_source_views, with_bbox=cfg.with_bbox,
@@ -299,17 +335,24 @@ def fit(
                                    skip)
 
         for gstep, inputs in stream:
-            src_images, src_poses, focal, c, model_input, gt = inputs
-            sub = jax.random.fold_in(base_key, gstep)
-            if mesh is not None:
-                args = shard_train_inputs(
-                    mesh, src_images, src_poses, focal, c, model_input, gt
-                )
+            if inputs is None:
+                # device_data: the step derives its own key from
+                # (base_key, state.step) in-program — a host-side fold_in
+                # here costs ~8 ms/step through the relay
+                state, metrics = train_step(state)
+                rays_done += cfg.batch_size * cfg.ray_batch_size
             else:
-                args = (src_images, src_poses, focal, c, model_input, gt)
-            state, metrics = train_step(state, *args, sub)
+                sub = jax.random.fold_in(base_key, gstep)
+                src_images, src_poses, focal, c, model_input, gt = inputs
+                if mesh is not None:
+                    args = shard_train_inputs(
+                        mesh, src_images, src_poses, focal, c, model_input, gt
+                    )
+                else:
+                    args = (src_images, src_poses, focal, c, model_input, gt)
+                state, metrics = train_step(state, *args, sub)
+                rays_done += int(gt.shape[0]) * int(gt.shape[1])
             step = gstep + 1
-            rays_done += int(gt.shape[0]) * int(gt.shape[1])
 
             if step % cfg.steps_print == 0:
                 scal = multihost.gather_metrics(
@@ -372,7 +415,13 @@ def fit(
 
         if losses:
             mean_losses.append(float(np.mean(losses)))
-        if cfg.save_root is not None and epoch % cfg.epochs_save == 0:
+        # the run's last epoch always checkpoints, whatever the cadence —
+        # otherwise a cadence that doesn't divide the total silently drops
+        # the final weights (bit round 5's quality A/B)
+        last = epoch == epoch_idx0 + cfg.epochs
+        if cfg.save_root is not None and (
+            epoch % cfg.epochs_save == 0 or last
+        ):
             path = save_checkpoint(cfg.save_root, cfg.run_name, epoch, state)
             if primary:
                 logger.log("checkpoint", epoch=epoch, path=path)

@@ -67,6 +67,8 @@ def make_train_step(
     ray_chunks: int = 1,
     ema_decay: float = 0.999,
     rng_mode: str = "per_ray",
+    sampler: Optional[Callable] = None,
+    sampler_key: Optional[jax.Array] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -77,6 +79,15 @@ def make_train_step(
 
     where ``model_input = {x_pix, cam2world, intrinsics}`` holds the ray
     batch and ``gt`` the target colours in [0, 1].
+
+    With ``sampler`` (see ``avr_tpu.data.device.make_device_sampler``) the
+    signature collapses to ``step(state)``: the batch is drawn from the
+    device-resident dataset inside the same XLA program, keyed by
+    ``fold_in(sampler_key, state.step)`` — so a step costs zero per-step
+    host work, zero argument upload, and zero host-side key derivation
+    (measured ~8 ms/call for a host ``fold_in`` through the TPU relay,
+    scripts/bench_overhead_tpu.py).  Deterministic resume holds because
+    the stream depends only on (sampler_key, state.step).
 
     ``ray_chunks > 1`` accumulates gradients over that many sequential
     ray-chunks (encode runs once; each chunk renders R/ray_chunks rays,
@@ -222,6 +233,17 @@ def make_train_step(
         return new_state, metrics
 
     del has_bn
+    if sampler is not None:
+        if sampler_key is None:
+            sampler_key = jax.random.PRNGKey(0)
+
+        def dd_step(state: TrainState):
+            key = jax.random.fold_in(sampler_key, state.step)
+            k_batch, k_render = jax.random.split(key)
+            batch = sampler(k_batch)
+            return step(state, *batch, k_render)
+
+        return jax.jit(dd_step, donate_argnums=(0,) if donate else ())
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

@@ -66,6 +66,14 @@ def main(argv=None):
                         "lpips_rand — see scripts/make_lpips_weights.py); "
                         "'' disables")
     p.add_argument("--train_views", type=int, default=12)
+    p.add_argument("--device_data", action="store_true",
+                   help="train with the device-resident dataset (zero "
+                        "per-step host/upload overhead; see "
+                        "avr_tpu/data/device.py)")
+    p.add_argument("--epochs_save", type=int, default=0,
+                   help="save a checkpoint every N epochs (0 = final only); "
+                        "periodic checkpoints let the analysis evaluate "
+                        "test metrics vs wall-clock, not just at the end")
     opt = p.parse_args(argv)
 
     # QAB_PLATFORM=cpu for smoke tests (the env's sitecustomize pins the
@@ -131,7 +139,7 @@ def main(argv=None):
             "--batch_size", str(opt.batch_size),
             "--ray_batch_size", str(opt.ray_batch_size),
             "--epochs", str(epochs),
-            "--epochs_save", str(epochs),
+            "--epochs_save", str(opt.epochs_save or epochs),
             "--samples_per_instance", "8",
             "--steps_print", "50",
             "--steps_val", str(opt.steps_val),
@@ -157,6 +165,8 @@ def main(argv=None):
         ]
         if adaptive and opt.depth_consistency:
             train_args += ["--depth_consistency", str(opt.depth_consistency)]
+        if opt.device_data:
+            train_args += ["--device_data"]
         train_main(train_args)
         train_s = time.time() - t0
 

@@ -176,6 +176,42 @@ def test_fused_march_grads_match_reference(grad_clamp, ns):
         )
 
 
+@pytest.mark.parametrize("wr", [4, 16, 64])
+def test_fused_march_window_rows_invariant(wr):
+    """Values and grads are identical for every gather-window height.
+
+    ``window_rows`` is a pure performance knob (fewer/wider vs more/narrower
+    one-hot contractions per march step); any wr-dependent numeric change
+    would mean a window covers the wrong feature rows.  wr=64 == whole map
+    (single window, the degenerate exact case)."""
+    inp = _inputs()
+    probe = jnp.asarray(
+        np.random.default_rng(3).normal(size=(B, R, 3)).astype(np.float32)
+    )
+
+    def loss(feat, coords0, wr=wr):
+        d = dict(inp, feat=feat, coords0=coords0)
+        return jnp.sum(
+            fused_lstm_march(
+                d["proj"], d["coords0"], d["rds"], d["feat"], d["wih"],
+                d["whh"], d["bias"], d["wout"], d["bout"], steps=STEPS,
+                compute_dtype=jnp.float32, interpret=True, window_rows=wr,
+            )
+            * probe
+        )
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1))(
+        inp["feat"], inp["coords0"]
+    )
+    val64, grads64 = jax.value_and_grad(
+        lambda f, c: loss(f, c, wr=64), argnums=(0, 1)
+    )(inp["feat"], inp["coords0"])
+    np.testing.assert_allclose(float(val), float(val64), rtol=1e-6)
+    for a, b in zip(grads, grads64):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fused_march_padding_ignores_tail():
     """Results are independent of the _BLK padding (rays not mult of 512)."""
     inp = _inputs(2)
