@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Epoch to resume from (0 = fresh)")
     p.add_argument("--sl", type=int, default=128, help="Image sidelength")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--schedule_total_epochs", type=int, default=0,
+                   help="cosine-horizon override in epochs (default: "
+                        "--epochs).  A resumed run passes the ORIGINAL "
+                        "total here so the restored optimizer step count "
+                        "continues the same decay instead of compressing "
+                        "the schedule into the remaining epochs")
     p.add_argument("--lr_schedule", type=str, default="constant",
                    choices=["constant", "cosine"],
                    help="constant (reference parity) or warmup+cosine decay")
@@ -282,7 +288,8 @@ def main(argv=None):
     steps_per_epoch = max(len(train_dset) // max(opt.batch_size, 1), 1)
     tx = make_optimizer(
         opt.lr, schedule=opt.lr_schedule,
-        total_steps=opt.epochs * steps_per_epoch,
+        total_steps=(opt.schedule_total_epochs or opt.epochs)
+        * steps_per_epoch,
     )
     state = create_train_state(variables, tx, ema=opt.ema_decay > 0)
     if opt.starting_epoch > 0:
