@@ -132,7 +132,9 @@ def main(argv=None):
         t0 = time.time()
         train_args = [
             "--root_dir", opt.workdir,
-            "--loss_mode", "both",
+            # the raymarcher renders coarse-only (reference
+            # renderers.py:351: fine image is None) — 'both' would raise
+            "--loss_mode", "coarse" if "Raymarcher" in name else "both",
             "--renderer", name,
             "--starting_epoch", "0",
             "--sl", str(opt.side),
